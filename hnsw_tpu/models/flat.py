@@ -1,0 +1,144 @@
+"""Flat / exact brute-force index.
+
+The TPU-native form of the reference's exact-kNN ground-truth engine
+(bench.clj:72-84 compute-exact-knn: brute-force cosine over the corpus) and
+its brute-force `top-k-distances` helper (simd_optimized.clj:200-216). One
+fused MXU GEMM + masked top-k per corpus tile, streamed with a running merge
+so arbitrarily large corpora fit in fixed device memory.
+
+On TPU this is simultaneously (a) a production index family in its own right
+— at 31k x 768 the full scan beats the reference's 20-thread HNSW QPS — and
+(b) the recall ground truth every approximate family is measured against.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.config import Mode
+from hnsw_tpu.models.base import ANNIndex
+from hnsw_tpu.ops.distance import BIG, distances_from_dots
+from hnsw_tpu.ops.topk import top_k_ascending
+from hnsw_tpu.types import Corpus, Metric
+
+# Corpus-tile row count for the streaming scan. 32k rows x 768 f32 = ~96 MB
+# HBM reads per tile; the [B, TILE] score block stays small.
+DEFAULT_TILE = 32768
+
+
+@partial(jax.jit, static_argnames=("k", "n", "metric", "tile", "precision"))
+def exact_topk(
+    vectors: jnp.ndarray,   # [N_pad, D]
+    v_sq: jnp.ndarray,      # [N_pad]
+    queries: jnp.ndarray,   # [B, D]
+    *,
+    k: int,
+    n: int,
+    metric: Metric,
+    tile: int = DEFAULT_TILE,
+    precision: str = "f32",
+):
+    """Exact top-k over the packed corpus. Returns (dists [B,k], rows [B,k]);
+    rows >= n never appear (masked to BIG); if k > n the tail has row -1."""
+    n_pad, d = vectors.shape
+    b = queries.shape[0]
+    kk = min(k, n_pad)
+
+    q = queries.astype(jnp.bfloat16) if precision == "bf16" else queries
+    q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+
+    def score_tile(vt, vt_sq, base):
+        vv = vt.astype(jnp.bfloat16) if precision == "bf16" else vt
+        prec = None if precision == "bf16" else jax.lax.Precision.HIGHEST
+        dots = jnp.dot(q, vv.T, preferred_element_type=jnp.float32,
+                       precision=prec)
+        dist = distances_from_dots(dots, q_sq, vt_sq, metric)
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        dist = jnp.where(rows < n, dist, BIG)
+        return dist, rows
+
+    if n_pad <= tile:
+        dist, rows = score_tile(vectors, v_sq, jnp.int32(0))
+        dk, sel = top_k_ascending(dist, kk)
+        rk = jnp.take_along_axis(rows, sel, axis=-1)
+    else:
+        num_tiles = n_pad // tile if n_pad % tile == 0 else n_pad // tile + 1
+        pad_to = num_tiles * tile
+        if pad_to != n_pad:
+            vectors = jnp.pad(vectors, ((0, pad_to - n_pad), (0, 0)))
+            v_sq = jnp.pad(v_sq, (0, pad_to - n_pad))
+        vt = vectors.reshape(num_tiles, tile, d)
+        vt_sq = v_sq.reshape(num_tiles, tile)
+
+        def body(carry, xs):
+            best_d, best_r = carry
+            vblk, vblk_sq, base = xs
+            dist, rows = score_tile(vblk, vblk_sq, base)
+            d_all = jnp.concatenate([best_d, dist], axis=-1)
+            r_all = jnp.concatenate([best_r, rows], axis=-1)
+            dk, sel = top_k_ascending(d_all, kk)
+            return (dk, jnp.take_along_axis(r_all, sel, axis=-1)), None
+
+        init = (jnp.full((b, kk), BIG), jnp.full((b, kk), -1, jnp.int32))
+        bases = jnp.arange(num_tiles, dtype=jnp.int32) * tile
+        (dk, rk), _ = jax.lax.scan(body, init, (vt, vt_sq, bases))
+
+    # normalize missing results (k > n) to row -1
+    rk = jnp.where(dk >= BIG, -1, rk)
+    if kk < k:
+        dk = jnp.pad(dk, ((0, 0), (0, k - kk)), constant_values=BIG)
+        rk = jnp.pad(rk, ((0, 0), (0, k - kk)), constant_values=-1)
+    return dk, rk
+
+
+class FlatIndex(ANNIndex):
+    """Exact brute-force index (recall = 1.0 by construction)."""
+
+    family = "flat"
+
+    def __init__(self, corpus: Corpus, *, precision: str = "f32",
+                 tile: int = DEFAULT_TILE):
+        super().__init__(corpus)
+        self.precision = precision
+        self.tile = tile
+
+    def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED):
+        q = self.corpus.pad_queries(np.asarray(queries))
+        return exact_topk(
+            self.corpus.vectors, self.corpus.sq_norms, q,
+            k=k, n=self.corpus.n, metric=self.corpus.metric,
+            tile=self.tile, precision=self.precision,
+        )
+
+    def index_info(self) -> Dict[str, Any]:
+        return {
+            "type": self.family,
+            "num_vectors": self.corpus.n,
+            "dimensions": self.corpus.dim,
+            "metric": self.corpus.metric.value,
+            "precision": self.precision,
+            "memory_mb": self.corpus.vectors.size * 4 / 1e6,
+        }
+
+    def to_state(self) -> Dict[str, Any]:
+        return {"params": {"precision": self.precision, "tile": self.tile},
+                "arrays": {}}
+
+    @classmethod
+    def from_state(cls, corpus: Corpus, state: Dict[str, Any]) -> "FlatIndex":
+        p = state.get("params", {})
+        return cls(corpus, precision=p.get("precision", "f32"),
+                   tile=int(p.get("tile", DEFAULT_TILE)))
+
+
+def build_flat_index(data, *, metric="cosine", ids=None, precision="f32",
+                     **_ignored) -> FlatIndex:
+    """Build from a host array [n, dim] or reference-style [id, vec] pairs."""
+    from hnsw_tpu.models.common import as_corpus
+    corpus = as_corpus(data, metric=metric, ids=ids)
+    return FlatIndex(corpus, precision=precision)

@@ -1,0 +1,149 @@
+"""HNSW index family: the production graph index.
+
+Covers both of the reference's graph families — pure HNSW (graph.clj +
+ann/graph/pure_hnsw.clj) and Ultra-Fast HNSW (ultra_fast.clj) — with one
+TPU-native implementation: MXU exact-candidate build (build.py) and batched
+fixed-beam search (search.py). Mode presets map to ef exactly as documented
+in pure_hnsw.clj:136-141, and ef is actually honored (fixing the
+graph.clj:304 quirk where ef was hardcoded to max(k, 50)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.config import DEFAULTS, Mode, ef_for
+from hnsw_tpu.models.base import ANNIndex
+from hnsw_tpu.models.common import as_corpus
+from hnsw_tpu.models.hnsw.build import build_graph, insert_wave
+from hnsw_tpu.models.hnsw.graph import HNSWGraph, assign_levels, empty_graph
+from hnsw_tpu.models.hnsw.search import hnsw_search_batch
+from hnsw_tpu.types import Corpus, Metric
+
+
+class HNSWIndex(ANNIndex):
+    family = "hnsw"
+
+    def __init__(self, corpus: Corpus, graph: HNSWGraph, *,
+                 expand: int = 4):
+        super().__init__(corpus)
+        self.graph = graph
+        self.expand = expand
+
+    def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
+                     ef: Optional[int] = None):
+        q = self.corpus.pad_queries(np.asarray(queries))
+        if self.graph.n == 0 or self.graph.entry < 0:
+            b = q.shape[0]
+            return (jnp.full((b, k), np.float32(np.inf)),
+                    jnp.full((b, k), -1, jnp.int32))
+        ef = ef if ef is not None else ef_for(mode, k)
+        d, r = hnsw_search_batch(
+            self.corpus.vectors, self.corpus.sq_norms,
+            self.graph.adj0, self.graph.adj_upper,
+            jnp.int32(self.graph.entry), q,
+            k=k, ef=ef, expand=self.expand,
+            metric=self.corpus.metric,
+        )
+        return d, r
+
+    def add_batch(self, data: np.ndarray, ids=None, *, seed_offset: int = 0):
+        """Append new vectors and connect them with a batched wave insert —
+        the parallel insert the reference attempted and abandoned
+        (ultra_fast.clj:303-313)."""
+        data = np.atleast_2d(np.asarray(data, np.float32))
+        w = data.shape[0]
+        old_n = self.corpus.n
+        old = np.asarray(self.corpus.vectors[:old_n, : self.corpus.dim])
+        merged = np.concatenate([old, data], axis=0)
+        new_ids = None
+        if self.corpus.ids is not None or ids is not None:
+            olds = list(self.corpus.ids) if self.corpus.ids is not None else \
+                [str(i) for i in range(old_n)]
+            news = [str(i) for i in (ids if ids is not None
+                                     else range(old_n, old_n + w))]
+            new_ids = olds + news
+        self.corpus = Corpus.from_array(merged, metric=self.corpus.metric,
+                                        ids=new_ids)
+        new_rows = np.arange(old_n, old_n + w, dtype=np.int32)
+        ml = DEFAULTS["ml"]
+        new_levels = assign_levels(w, ml, DEFAULTS["seed"] + old_n + seed_offset)
+        if self.graph.n == 0:
+            self.graph = build_graph(
+                self.corpus, m=self.graph.m, m0=self.graph.m0,
+                ef_construction=self.graph.ef_construction)
+        else:
+            self.graph = insert_wave(self.graph, self.corpus, new_rows,
+                                     new_levels)
+        return self
+
+    def index_info(self) -> Dict[str, Any]:
+        info = self.graph.info()
+        info.update({
+            "type": self.family,
+            "num_vectors": self.corpus.n,
+            "dimensions": self.corpus.dim,
+            "metric": self.corpus.metric.value,
+        })
+        return info
+
+    def to_state(self) -> Dict[str, Any]:
+        g = self.graph
+        return {
+            "params": {
+                "M": g.m, "M0": g.m0, "ef_construction": g.ef_construction,
+                "entry": int(g.entry), "max_level": int(g.max_level),
+                "n": int(g.n), "expand": self.expand,
+            },
+            "arrays": {
+                "levels": np.asarray(g.levels),
+                "adj0": np.asarray(g.adj0),
+                "adj_upper": np.asarray(g.adj_upper),
+            },
+        }
+
+    @classmethod
+    def from_state(cls, corpus: Corpus, state: Dict[str, Any]) -> "HNSWIndex":
+        p, a = state["params"], state["arrays"]
+        graph = HNSWGraph(
+            levels=jnp.asarray(a["levels"]),
+            adj0=jnp.asarray(a["adj0"]),
+            adj_upper=jnp.asarray(a["adj_upper"]),
+            entry=int(p["entry"]), max_level=int(p["max_level"]),
+            m=int(p["M"]), m0=int(p["M0"]),
+            ef_construction=int(p["ef_construction"]), n=int(p["n"]),
+        )
+        return cls(corpus, graph, expand=int(p.get("expand", 4)))
+
+
+def build_hnsw_index(
+    data,
+    *,
+    M: int = DEFAULTS["M"],
+    max_M0: Optional[int] = None,
+    ef_construction: int = DEFAULTS["ef_construction"],
+    metric="cosine",
+    ids=None,
+    seed: int = DEFAULTS["seed"],
+    k_cand: Optional[int] = None,
+    expand: int = 4,
+    **_ignored,
+) -> HNSWIndex:
+    """Build an HNSW index. Accepts [n, dim] arrays, [id, vec] pairs, or a
+    Corpus. Defaults mirror the reference (ultra_fast.clj:334-344)."""
+    corpus = as_corpus(data, metric=metric, ids=ids)
+    if corpus.n == 0:
+        graph = empty_graph(corpus.n_pad or 8, M, max_M0 or 2 * M, 0,
+                            ef_construction)
+    else:
+        graph = build_graph(corpus, m=M, m0=max_M0,
+                            ef_construction=ef_construction,
+                            seed=seed, k_cand=k_cand)
+    return HNSWIndex(corpus, graph, expand=expand)
+
+
+__all__ = ["HNSWIndex", "build_hnsw_index", "HNSWGraph", "build_graph",
+           "insert_wave", "hnsw_search_batch"]

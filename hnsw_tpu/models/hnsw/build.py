@@ -1,0 +1,415 @@
+"""HNSW construction on the MXU.
+
+The reference builds its graph by inserting 31k vectors one at a time —
+215 seconds, single-threaded, explicitly documented as "Sequential insertion
+for now - parallel version had issues" (ultra_fast.clj:303-330,
+wip/parallel_build.clj:199-208). That shape cannot run on a TPU and doesn't
+need to: for corpus sizes where HNSW matters at all, the all-pairs distance
+matrix is a few MXU GEMM tiles. So the primary builder here computes the
+EXACT kNN candidate set per node (tiled GEMM + streaming top-k), applies the
+reference's neighbor-selection heuristic (graph.clj:163-201: keep a candidate
+iff it is closer to the node than to any already-selected neighbor, then
+re-add pruned candidates to fill spare slots) as a vectorized scan, and
+symmetrizes with a reverse-edge pass + heuristic re-prune (the analogue of
+graph.clj:204-236's bidirectional connect with prune-at-cap). Upper layers
+repeat the same recipe on the level-l subset. Levels use the reference's
+seeded exponential scheme (graph.clj:94-99).
+
+Result: a graph built from *exact* neighborhoods — strictly better input to
+the selection heuristic than the reference's approximate search-based
+candidates — in milliseconds-to-seconds instead of minutes.
+
+A wave-based incremental insert (`insert_batch`) covers the append/add! API:
+each wave batch-searches the current graph for candidates at every level
+(the batched form of ultra_fast.clj:216-275), connects forward edges via the
+heuristic, and repairs reverse edges with prune-at-cap.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.models.flat import exact_topk
+from hnsw_tpu.models.hnsw.graph import HNSWGraph, assign_levels, NONE
+from hnsw_tpu.models.hnsw.search import hnsw_search_batch
+from hnsw_tpu.ops.distance import BIG, gather_score, distances_from_dots
+from hnsw_tpu.ops.topk import top_k_ascending
+from hnsw_tpu.types import Corpus, Metric
+
+# Query-tile row count for build passes: bounds the [QT, N] score block.
+BUILD_TILE = 1024
+
+
+# ---------------------------------------------------------------------------
+# neighbor-selection heuristic (graph.clj:163-201), vectorized
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cap", "keep_pruned"))
+def heuristic_select(
+    cand_ids: jnp.ndarray,   # [T, K] int32, ascending by cand_d, -1 invalid
+    cand_d: jnp.ndarray,     # [T, K] distance candidate -> node
+    pair_d: jnp.ndarray,     # [T, K, K] distance candidate -> candidate
+    *,
+    cap: int,
+    keep_pruned: bool = True,
+):
+    """Returns sel_ids [T, cap] (-1 padded). Candidate j is selected iff it
+    is closer to the node than to every already-selected candidate; pruned
+    candidates refill spare slots in ascending order when keep_pruned."""
+    t, kk = cand_ids.shape
+    valid = cand_ids >= 0
+
+    def step(sel_mask, j):
+        dmin = jnp.min(jnp.where(sel_mask, pair_d[:, j, :], BIG), axis=-1)
+        count = jnp.sum(sel_mask, axis=-1)
+        good = (cand_d[:, j] < dmin) & (count < cap) & valid[:, j]
+        return sel_mask.at[:, j].set(good), None
+
+    sel_mask, _ = jax.lax.scan(step, jnp.zeros((t, kk), bool),
+                               jnp.arange(kk))
+
+    order = jnp.arange(kk, dtype=jnp.float32)[None, :]
+    key = jnp.where(sel_mask, order, order + kk)       # selected first
+    if not keep_pruned:
+        key = jnp.where(sel_mask, key, 4.0 * kk)
+    key = jnp.where(valid, key, 8.0 * kk)              # invalid last
+    _, pos = top_k_ascending(key, min(cap, kk))
+    out = jnp.take_along_axis(cand_ids, pos, axis=-1)
+    out_key = jnp.take_along_axis(key, pos, axis=-1)
+    out = jnp.where(out_key < 4.0 * kk, out, -1)
+    if kk < cap:
+        out = jnp.pad(out, ((0, 0), (0, cap - kk)), constant_values=-1)
+    return out
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def _pairwise_among(vecs: jnp.ndarray, sq: jnp.ndarray, *, metric: Metric):
+    """Distances among gathered candidates. vecs: [T, K, D], sq: [T, K].
+    Returns [T, K, K]."""
+    dots = jnp.einsum("tkd,tld->tkl", vecs, vecs,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    if metric == Metric.COSINE:
+        denom = jnp.sqrt(jnp.maximum(sq[:, :, None] * sq[:, None, :], 1e-12))
+        return 1.0 - dots / denom
+    if metric == Metric.EUCLIDEAN:
+        return jnp.sqrt(jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2 * dots, 0.0))
+    if metric == Metric.DOT:
+        return -dots
+    raise ValueError(metric)
+
+
+@partial(jax.jit, static_argnames=("cap", "metric", "keep_pruned"))
+def select_from_candidates(
+    node_vecs: jnp.ndarray,   # [T, D]
+    cand_ids: jnp.ndarray,    # [T, C] int32, -1 invalid, may contain dups
+    vectors: jnp.ndarray,     # [N_pad, D] global
+    v_sq: jnp.ndarray,        # [N_pad]
+    self_ids: jnp.ndarray,    # [T] int32 (exclude from candidates)
+    *,
+    cap: int,
+    metric: Metric,
+    keep_pruned: bool = True,
+):
+    """Full pipeline for one node-tile: dedupe candidates, score them against
+    the node, sort ascending, pairwise-score, heuristic-select cap."""
+    t, c = cand_ids.shape
+    valid = (cand_ids >= 0) & (cand_ids != self_ids[:, None])
+    # dedupe: later duplicates invalid
+    eq = cand_ids[:, :, None] == cand_ids[:, None, :]
+    earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
+    dup = jnp.any(eq & earlier & valid[:, None, :], axis=-1)
+    valid = valid & ~dup
+
+    d = gather_score(node_vecs, jnp.maximum(cand_ids, 0), vectors, v_sq,
+                     metric=metric, valid=valid)           # [T, C]
+    d_sorted, pos = top_k_ascending(d, c)
+    ids_sorted = jnp.where(d_sorted < BIG,
+                           jnp.take_along_axis(cand_ids, pos, axis=-1), -1)
+
+    gat = jnp.take(vectors, jnp.maximum(ids_sorted, 0), axis=0)  # [T, C, D]
+    gsq = jnp.take(v_sq, jnp.maximum(ids_sorted, 0), axis=0)
+    pair_d = _pairwise_among(gat, gsq, metric=metric)
+    return heuristic_select(ids_sorted, d_sorted, pair_d,
+                            cap=cap, keep_pruned=keep_pruned)
+
+
+# ---------------------------------------------------------------------------
+# reverse-edge collection (host, vectorized numpy)
+# ---------------------------------------------------------------------------
+
+def reverse_candidates(adj: np.ndarray, n: int, rev_cap: int) -> np.ndarray:
+    """For forward adjacency [ns, cap], collect up to rev_cap reverse sources
+    per destination, in forward-slot order (slot order ~ ascending distance).
+    Returns [n, rev_cap] int32, -1 padded."""
+    ns, cap = adj.shape
+    src = np.repeat(np.arange(ns, dtype=np.int32), cap)
+    dst = adj.reshape(-1)
+    slot = np.tile(np.arange(cap, dtype=np.int32), ns)
+    keep = dst >= 0
+    src, dst, slot = src[keep], dst[keep], slot[keep]
+    order = np.lexsort((slot, dst))
+    src, dst = src[order], dst[order]
+    # position within each dst group
+    first = np.searchsorted(dst, dst, side="left")
+    pos = np.arange(len(dst)) - first
+    keep = pos < rev_cap
+    rev = np.full((n, rev_cap), NONE, np.int32)
+    rev[dst[keep], pos[keep]] = src[keep]
+    return rev
+
+
+# ---------------------------------------------------------------------------
+# one-layer build: exact kNN candidates -> heuristic -> symmetrize
+# ---------------------------------------------------------------------------
+
+def build_layer(
+    vectors: jnp.ndarray,     # [N_pad, D] global corpus
+    v_sq: jnp.ndarray,
+    member_rows: np.ndarray,  # [ns] global row ids in this layer
+    *,
+    cap: int,
+    k_cand: int,
+    metric: Metric,
+    tile: int = BUILD_TILE,
+) -> np.ndarray:
+    """Build one layer's adjacency over member_rows. Returns [ns, cap] of
+    GLOBAL row ids (-1 padded)."""
+    ns = len(member_rows)
+    if ns <= 1:
+        return np.full((ns, cap), NONE, np.int32)
+
+    member_rows = np.asarray(member_rows, np.int32)
+    sub = jnp.take(vectors, jnp.asarray(member_rows), axis=0)   # [ns, D]
+    sub_sq = jnp.take(v_sq, jnp.asarray(member_rows), axis=0)
+    kq = min(k_cand + 1, ns)  # +1: self will be dropped
+
+    fwd_local = np.full((ns, cap), NONE, np.int32)
+    for start in range(0, ns, tile):
+        stop = min(start + tile, ns)
+        q = sub[start:stop]
+        _, rows = exact_topk(sub, sub_sq, q, k=kq, n=ns, metric=metric)
+        selfi = jnp.arange(start, stop, dtype=jnp.int32)
+        sel = select_from_candidates(q, rows, sub, sub_sq, selfi,
+                                     cap=cap, metric=metric)
+        fwd_local[start:stop] = np.asarray(sel)
+
+    # symmetrize: candidates = forward ∪ reverse, heuristic re-prune
+    rev_local = reverse_candidates(fwd_local, ns, rev_cap=cap)
+    out_local = np.full((ns, cap), NONE, np.int32)
+    for start in range(0, ns, tile):
+        stop = min(start + tile, ns)
+        cand = np.concatenate([fwd_local[start:stop], rev_local[start:stop]],
+                              axis=1)
+        q = sub[start:stop]
+        selfi = jnp.arange(start, stop, dtype=jnp.int32)
+        sel = select_from_candidates(q, jnp.asarray(cand), sub, sub_sq, selfi,
+                                     cap=cap, metric=metric)
+        out_local[start:stop] = np.asarray(sel)
+
+    # map local -> global ids
+    out = np.where(out_local >= 0,
+                   member_rows[np.maximum(out_local, 0)], NONE).astype(np.int32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full build
+# ---------------------------------------------------------------------------
+
+def build_graph(
+    corpus: Corpus,
+    *,
+    m: int = 16,
+    m0: Optional[int] = None,
+    ef_construction: int = 200,
+    ml: Optional[float] = None,
+    seed: int = 42,
+    k_cand: Optional[int] = None,
+    metric: Optional[Metric] = None,
+) -> HNSWGraph:
+    """Build the full hierarchy. k_cand is the exact-kNN candidate pool fed
+    to the heuristic (the analogue of ef-construction's candidate set,
+    graph.clj:70)."""
+    n = corpus.n
+    n_pad = corpus.n_pad
+    m0 = m0 or 2 * m
+    ml = ml if ml is not None else 1.0 / math.log(2.0)
+    metric = metric or corpus.metric
+    k_cand = k_cand or min(max(2 * m0, 48), 192)
+
+    levels_np = assign_levels(n, ml, seed,
+                              max_cap=max(int(math.log2(max(n, 2))), 1))
+    max_level = int(levels_np.max()) if n else 0
+
+    levels = np.full((n_pad,), NONE, np.int32)
+    levels[:n] = levels_np
+
+    adj0 = np.full((n_pad, m0), NONE, np.int32)
+    if n > 1:
+        adj0[:n] = build_layer(corpus.vectors, corpus.sq_norms,
+                               np.arange(n, dtype=np.int32),
+                               cap=m0, k_cand=k_cand, metric=metric)
+
+    adj_upper = np.full((max_level, n_pad, m), NONE, np.int32)
+    for l in range(1, max_level + 1):
+        members = np.nonzero(levels_np >= l)[0].astype(np.int32)
+        if len(members) > 1:
+            adj_upper[l - 1, members] = build_layer(
+                corpus.vectors, corpus.sq_norms, members,
+                cap=m, k_cand=min(k_cand, 4 * m), metric=metric)
+
+    if n:
+        top_nodes = np.nonzero(levels_np == max_level)[0]
+        entry = int(top_nodes[0])
+    else:
+        entry = NONE
+
+    return HNSWGraph(
+        levels=jnp.asarray(levels),
+        adj0=jnp.asarray(adj0),
+        adj_upper=jnp.asarray(adj_upper),
+        entry=entry,
+        max_level=max_level,
+        m=m, m0=m0,
+        ef_construction=ef_construction,
+        n=n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental wave insert (the batched form of ultra_fast.clj:216-275)
+# ---------------------------------------------------------------------------
+
+def insert_wave(
+    graph: HNSWGraph,
+    corpus: Corpus,
+    new_rows: np.ndarray,      # [W] global rows already packed into corpus
+    new_levels: np.ndarray,    # [W]
+) -> HNSWGraph:
+    """Connect a wave of already-packed new rows into an existing graph.
+
+    Per level l (top-down like the reference's insert): batch-search the
+    current graph for ef_construction candidates among level-l members, add
+    intra-wave candidates (wave x wave GEMM — nodes in one wave DO see each
+    other, unlike naive parallel insert), heuristic-select, write forward
+    edges, then repair reverse edges with prune-at-cap (the batched
+    prune-connections analogue of ultra_fast.clj:279-299, but using the
+    selection heuristic for quality like graph.clj:204-236)."""
+    w = len(new_rows)
+    if w == 0:
+        return graph
+    n_pad = corpus.n_pad
+    vectors, v_sq = corpus.vectors, corpus.sq_norms
+    metric = corpus.metric
+
+    levels = np.asarray(graph.levels)
+    if levels.shape[0] != n_pad:
+        grown = np.full((n_pad,), NONE, np.int32)
+        grown[: levels.shape[0]] = levels
+        levels = grown
+    levels[new_rows] = new_levels
+    new_max = int(max(graph.max_level, new_levels.max() if w else 0))
+
+    adj0 = np.asarray(graph.adj0)
+    adj_upper = np.asarray(graph.adj_upper)
+    if adj0.shape[0] != n_pad or adj_upper.shape[0] < new_max:
+        a0 = np.full((n_pad, graph.m0), NONE, np.int32)
+        a0[: adj0.shape[0]] = adj0
+        adj0 = a0
+        au = np.full((new_max, n_pad, graph.m), NONE, np.int32)
+        if adj_upper.size:
+            au[: adj_upper.shape[0], : adj_upper.shape[1]] = adj_upper
+        adj_upper = au
+
+    q = jnp.take(vectors, jnp.asarray(new_rows), axis=0)        # [W, D]
+    ef_c = graph.ef_construction
+
+    # candidate pool per level via batched search on the current graph
+    for l in range(new_max, -1, -1):
+        at_level = new_levels >= l
+        if not at_level.any():
+            continue
+        cap = graph.m0 if l == 0 else graph.m
+        adj_l = jnp.asarray(adj0 if l == 0 else adj_upper[l - 1])
+        cands = []
+        if graph.n > 0 and graph.entry >= 0:
+            # search existing graph restricted to this layer: use the full
+            # hierarchy down to layer l by searching with the layer-l
+            # adjacency as "layer 0" and upper layers above it
+            upper = jnp.asarray(adj_upper[l:]) if l < new_max else \
+                jnp.zeros((0, n_pad, graph.m), jnp.int32)
+            d_c, i_c = hnsw_search_batch(
+                vectors, v_sq, adj_l, upper,
+                jnp.int32(graph.entry), q,
+                k=min(ef_c, max(graph.n, 1)), ef=ef_c, metric=metric)
+            cands.append(np.asarray(i_c))
+        # intra-wave candidates at this level
+        wave_members = np.nonzero(at_level)[0]
+        if len(wave_members) > 1:
+            wrows = new_rows[wave_members]
+            sub = jnp.take(vectors, jnp.asarray(wrows), axis=0)
+            sub_sq = jnp.take(v_sq, jnp.asarray(wrows), axis=0)
+            kq = min(cap + 1, len(wrows))
+            _, loc = exact_topk(sub, sub_sq, q, k=kq, n=len(wrows),
+                                metric=metric)
+            cands.append(np.where(np.asarray(loc) >= 0,
+                                  wrows[np.maximum(np.asarray(loc), 0)], NONE))
+        if not cands:
+            continue
+        cand = np.concatenate(cands, axis=1)
+        sel = select_from_candidates(
+            q, jnp.asarray(cand), vectors, v_sq, jnp.asarray(new_rows),
+            cap=cap, metric=metric)
+        sel = np.asarray(sel)
+        target = adj0 if l == 0 else adj_upper[l - 1]
+        target[new_rows[at_level]] = sel[at_level]
+
+        # reverse repair: every selected neighbor gains the new node as a
+        # candidate; re-prune affected nodes at cap
+        pairs_dst = sel[at_level].reshape(-1)
+        pairs_src = np.repeat(new_rows[at_level], cap)
+        keep = pairs_dst >= 0
+        pairs_dst, pairs_src = pairs_dst[keep], pairs_src[keep]
+        if len(pairs_dst):
+            extra_cap = 8
+            order = np.lexsort((np.arange(len(pairs_dst)), pairs_dst))
+            ds, ss = pairs_dst[order], pairs_src[order]
+            first = np.searchsorted(ds, ds, side="left")
+            pos = np.arange(len(ds)) - first
+            keep2 = pos < extra_cap
+            affected = np.unique(ds)
+            extra = np.full((len(affected), extra_cap), NONE, np.int32)
+            rowi = np.searchsorted(affected, ds[keep2])
+            extra[rowi, pos[keep2]] = ss[keep2]
+            cur = target[affected]
+            cand2 = np.concatenate([cur, extra], axis=1)
+            node_vecs = jnp.take(vectors, jnp.asarray(affected), axis=0)
+            sel2 = select_from_candidates(
+                node_vecs, jnp.asarray(cand2), vectors, v_sq,
+                jnp.asarray(affected), cap=cap, metric=metric)
+            target[affected] = np.asarray(sel2)
+
+    # entry point update (reference keeps highest-level node as entry,
+    # ultra_fast.clj:271-273)
+    entry = graph.entry
+    if new_max > graph.max_level or entry < 0:
+        top = new_rows[new_levels.argmax()] if w else entry
+        entry = int(top) if (graph.entry < 0 or new_max > graph.max_level) else entry
+
+    return HNSWGraph(
+        levels=jnp.asarray(levels),
+        adj0=jnp.asarray(adj0),
+        adj_upper=jnp.asarray(adj_upper),
+        entry=int(entry),
+        max_level=new_max,
+        m=graph.m, m0=graph.m0,
+        ef_construction=graph.ef_construction,
+        n=int(graph.n + w),
+    )

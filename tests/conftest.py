@@ -1,0 +1,75 @@
+"""Test config: run on a virtual 8-device CPU mesh so multi-chip sharding
+paths are exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path; see __graft_entry__.py)."""
+
+import os
+
+# must be set before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_unit(n, d, seed=42):
+    r = np.random.default_rng(seed)
+    x = r.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def make_clustered(n, d, k=8, seed=42, noise=0.15):
+    r = np.random.default_rng(seed)
+    centers = r.standard_normal((k, d)).astype(np.float32)
+    assign = r.integers(0, k, n)
+    x = centers[assign] + noise * r.standard_normal((n, d)).astype(np.float32)
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def unit_vecs_small():
+    return make_unit(200, 32)
+
+
+@pytest.fixture(scope="session")
+def clustered_vecs():
+    return make_clustered(1000, 64)
+
+
+def brute_force_knn(data, queries, k, metric="cosine"):
+    """Reference-grade exact kNN on host numpy (ground truth for recall,
+    mirroring bench.clj:72-84)."""
+    data = np.asarray(data, np.float64)
+    q = np.atleast_2d(np.asarray(queries, np.float64))
+    if metric == "cosine":
+        dn = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        dist = 1.0 - qn @ dn.T
+    elif metric == "euclidean":
+        dist = np.sqrt(np.maximum(
+            (q * q).sum(1)[:, None] + (data * data).sum(1)[None, :]
+            - 2 * q @ data.T, 0))
+    elif metric == "dot":
+        dist = -(q @ data.T)
+    else:
+        raise ValueError(metric)
+    idx = np.argsort(dist, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(dist, idx, axis=1), idx
+
+
+def recall_at_k(approx_rows, exact_rows):
+    """|approx ∩ exact| / k per query, averaged (bench.clj:86-92)."""
+    rs = []
+    for a, e in zip(approx_rows, exact_rows):
+        a = set(int(x) for x in a if int(x) >= 0)
+        e = set(int(x) for x in e)
+        rs.append(len(a & e) / max(len(e), 1))
+    return float(np.mean(rs))

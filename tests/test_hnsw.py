@@ -1,0 +1,98 @@
+"""HNSW family tests: recall vs brute force (the reference's core
+correctness metric, integration_test.clj:138-157), ef monotonicity, edge
+cases, incremental wave insert."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import brute_force_knn, make_clustered, make_unit, recall_at_k
+from hnsw_tpu.models.hnsw import HNSWIndex, build_hnsw_index
+
+
+@pytest.fixture(scope="module")
+def built():
+    data = make_unit(1000, 64, seed=3)
+    idx = build_hnsw_index(data, M=16, metric="cosine")
+    return data, idx
+
+
+def test_recall_balanced(built):
+    data, idx = built
+    q = data[:32]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    _, rows = idx.search_batch(q, 10)
+    r = recall_at_k(np.asarray(rows), exact)
+    assert r >= 0.95, f"recall {r}"
+
+
+def test_self_is_nearest(built):
+    data, idx = built
+    hits = idx.search(data[17], 1)
+    assert hits[0]["distance"] < 1e-3
+
+
+def test_ef_monotone_recall(built):
+    data, idx = built
+    q = data[100:150]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    recalls = []
+    for ef in (10, 50, 200):
+        _, rows = idx.search_batch(q, 10, ef=ef)
+        recalls.append(recall_at_k(np.asarray(rows), exact))
+    assert recalls[-1] >= recalls[0]
+    assert recalls[-1] >= 0.97
+
+
+def test_graph_structure(built):
+    _, idx = built
+    info = idx.index_info()
+    assert info["element_count"] == 1000
+    assert 0 <= info["entry_point"] < 1000
+    assert info["avg_connections_l0"] > 4
+    # with ml = 1/ln2, P(level >= 1) = 0.5: about half the nodes at level 0
+    h = info["level_histogram"]
+    assert 0.4 * 1000 < h[0] < 0.6 * 1000
+
+
+def test_clustered_data():
+    data = make_clustered(800, 48, k=6, seed=11)
+    idx = build_hnsw_index(data, metric="euclidean")
+    q = data[:16]
+    _, exact = brute_force_knn(data, q, 5, "euclidean")
+    _, rows = idx.search_batch(q, 5)
+    assert recall_at_k(np.asarray(rows), exact) >= 0.95
+
+
+def test_empty_and_tiny():
+    idx = build_hnsw_index(np.zeros((0, 16), np.float32))
+    assert idx.search(np.ones(16), 5) == []
+    data = make_unit(3, 16)
+    idx = build_hnsw_index(data)
+    hits = idx.search(data[1], 5)
+    assert len(hits) == 3           # k > n returns n (core_test.clj:90-96)
+
+
+def test_incremental_insert():
+    data = make_unit(600, 32, seed=5)
+    idx = build_hnsw_index(data[:400], M=8)
+    idx.add_batch(data[400:])
+    assert idx.graph.n == 600
+    q = data[:16]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    _, rows = idx.search_batch(q, 10, ef=100)
+    r = recall_at_k(np.asarray(rows), exact)
+    assert r >= 0.9, f"recall after insert {r}"
+    # new nodes must be findable
+    hits = idx.search(data[450], 1)
+    assert hits[0]["distance"] < 1e-3
+
+
+def test_persistence_roundtrip(built):
+    # identical result ids after save/load (integration_test.clj:68-78)
+    data, idx = built
+    state = idx.to_state()
+    idx2 = HNSWIndex.from_state(idx.corpus, state)
+    q = data[5:10]
+    _, r1 = idx.search_batch(q, 10)
+    _, r2 = idx2.search_batch(q, 10)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
