@@ -44,7 +44,7 @@ class HNSWIndex(ANNIndex):
         d, r = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
             self.graph.adj0, self.graph.adj_upper,
-            jnp.int32(self.graph.entry), q,
+            jnp.full((q.shape[0],), self.graph.entry, jnp.int32), q,
             k=k, ef=ef, expand=self.expand,
             metric=self.corpus.metric,
         )

@@ -347,7 +347,7 @@ def insert_wave(
                 jnp.zeros((0, n_pad, graph.m), jnp.int32)
             d_c, i_c = hnsw_search_batch(
                 vectors, v_sq, adj_l, upper,
-                jnp.int32(graph.entry), q,
+                jnp.full((q.shape[0],), graph.entry, jnp.int32), q,
                 k=min(ef_c, max(graph.n, 1)), ef=ef_c, metric=metric)
             cands.append(np.asarray(i_c))
         # intra-wave candidates at this level

@@ -76,7 +76,7 @@ def hnsw_search_batch(
     v_sq: jnp.ndarray,        # [N_pad]
     adj0: jnp.ndarray,        # [N_pad, M0]
     adj_upper: jnp.ndarray,   # [L, N_pad, M] (L may be 0)
-    entry: jnp.ndarray,       # int32 scalar
+    entries: jnp.ndarray,     # int32 [B] per-query entry point (or scalar)
     queries: jnp.ndarray,     # [B, D]
     *,
     k: int,
@@ -97,7 +97,7 @@ def hnsw_search_batch(
         max_hops = ef // e + 24
 
     # ---- upper layers: greedy 1-probe descent --------------------------
-    cur = jnp.full((b,), entry, jnp.int32)
+    cur = jnp.broadcast_to(jnp.asarray(entries, jnp.int32), (b,))
     d0 = gather_score(queries, jnp.maximum(cur[:, None], 0), vectors, v_sq,
                       metric=metric, valid=(cur >= 0)[:, None])[:, 0]
     num_upper = adj_upper.shape[0]

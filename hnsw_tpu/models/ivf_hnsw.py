@@ -1,0 +1,158 @@
+"""IVF-HNSW: k-means partitions with a graph per cluster.
+
+Reference: src/hnsw/ann/hybrid/ivf_hnsw.clj — k-means++ + Lloyd partitioning
+(:34-143, duplicated from ivf_flat), a pure HNSW built per partition
+(:236-251), search probes num-probes nearest centroids and runs graph search
+in each with per-mode ef, fetching 2k per cluster then a global top-k
+(:279-326). Modes :turbo (1 probe, ef 50) ... :precise (5, 300) (:286-290).
+(The reference file itself cannot load due to a stale require — SURVEY.md
+§2.9 —; this reproduces its documented capability, not its wiring.)
+
+TPU design: all per-cluster graphs live in ONE global adjacency table whose
+edges never cross cluster boundaries (disjoint subgraphs), each cluster
+anchored at its medoid. A probe seeds a virtual query at the medoid, so a
+B-query / p-probe search is a single batched beam search over B*p virtual
+queries — same kernel as plain HNSW, different entry points.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.config import IVF_HNSW_MODES, Mode
+from hnsw_tpu.models._partition_scan import probe_mask_from_centroids
+from hnsw_tpu.models.base import ANNIndex
+from hnsw_tpu.models.common import as_corpus
+from hnsw_tpu.models.hnsw.build import build_layer
+from hnsw_tpu.models.hnsw.search import hnsw_search_batch
+from hnsw_tpu.ops.kmeans import train_kmeans
+from hnsw_tpu.ops.topk import top_k_ascending
+from hnsw_tpu.types import Corpus, Metric
+
+
+class IVFHNSWIndex(ANNIndex):
+    family = "ivf_hnsw"
+
+    def __init__(self, corpus: Corpus, *, centroids, medoids, adj0,
+                 num_partitions: int, m: int, seed: int = 42):
+        super().__init__(corpus)
+        self.centroids = centroids     # [K, D]
+        self.medoids = medoids         # int32 [K] entry row per cluster
+        self.adj0 = adj0               # [N_pad, M0] cluster-local edges
+        self.num_partitions = num_partitions
+        self.m = m
+        self.seed = seed
+
+    def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
+                     num_probes: Optional[int] = None,
+                     ef: Optional[int] = None):
+        q = self.corpus.pad_queries(np.asarray(queries))
+        b = q.shape[0]
+        mode = Mode.coerce(mode)
+        probes_m, ef_m = IVF_HNSW_MODES[mode]
+        p = min(num_probes or probes_m, self.num_partitions)
+        ef = max(ef or ef_m, k)
+
+        _, probe_ids = probe_mask_from_centroids(
+            q, self.centroids, num_probes=p, metric=self.corpus.metric)
+        entries = jnp.take(self.medoids, probe_ids, axis=0)   # [B, p]
+        # virtual queries: one per (query, probe)
+        vq = jnp.repeat(q, p, axis=0)                         # [B*p, D]
+        ve = entries.reshape(-1)                              # [B*p]
+        no_upper = jnp.zeros((0,) + self.adj0.shape, jnp.int32)[:, :, : self.m]
+        d_v, r_v = hnsw_search_batch(
+            self.corpus.vectors, self.corpus.sq_norms,
+            self.adj0, no_upper, ve, vq,
+            k=min(2 * k, ef), ef=ef, metric=self.corpus.metric)
+        d_all = d_v.reshape(b, -1)
+        r_all = r_v.reshape(b, -1)
+        kk = min(k, d_all.shape[-1])
+        dk, sel = top_k_ascending(d_all, kk)
+        rk = jnp.take_along_axis(r_all, sel, axis=-1)
+        rk = jnp.where(dk < 1e29, rk, -1)
+        if kk < k:
+            dk = jnp.pad(dk, ((0, 0), (0, k - kk)), constant_values=1e30)
+            rk = jnp.pad(rk, ((0, 0), (0, k - kk)), constant_values=-1)
+        return dk, rk
+
+    def index_info(self) -> Dict[str, Any]:
+        return {
+            "type": self.family,
+            "num_vectors": self.corpus.n,
+            "dimensions": self.corpus.dim,
+            "metric": self.corpus.metric.value,
+            "num_partitions": self.num_partitions,
+            "M": self.m,
+        }
+
+    def to_state(self) -> Dict[str, Any]:
+        return {
+            "params": {"num_partitions": self.num_partitions, "M": self.m,
+                       "seed": self.seed},
+            "arrays": {"centroids": np.asarray(self.centroids),
+                       "medoids": np.asarray(self.medoids),
+                       "adj0": np.asarray(self.adj0)},
+        }
+
+    @classmethod
+    def from_state(cls, corpus: Corpus, state: Dict[str, Any]) -> "IVFHNSWIndex":
+        p, a = state["params"], state["arrays"]
+        return cls(corpus, centroids=jnp.asarray(a["centroids"]),
+                   medoids=jnp.asarray(a["medoids"]),
+                   adj0=jnp.asarray(a["adj0"]),
+                   num_partitions=int(p["num_partitions"]), m=int(p["M"]),
+                   seed=int(p.get("seed", 42)))
+
+
+def build_ivf_hnsw_index(
+    data,
+    *,
+    num_partitions: int = 16,
+    M: int = 16,
+    max_iterations: int = 10,
+    metric="cosine",
+    ids=None,
+    seed: int = 42,
+    **_ignored,
+) -> IVFHNSWIndex:
+    corpus = as_corpus(data, metric=metric, ids=ids)
+    n = corpus.n
+    kparts = max(1, min(num_partitions, max(n, 1)))
+    m0 = 2 * M
+
+    if n == 0:
+        return IVFHNSWIndex(
+            corpus, centroids=jnp.zeros((kparts, corpus.d_pad)),
+            medoids=jnp.zeros(kparts, jnp.int32),
+            adj0=jnp.full((corpus.n_pad, m0), -1, jnp.int32),
+            num_partitions=kparts, m=M, seed=seed)
+
+    cents_j, assign_j = train_kmeans(
+        corpus.vectors, corpus.sq_norms, n, k=kparts, seed=seed,
+        iters=max_iterations, metric=corpus.metric)
+    assign = np.asarray(assign_j)[:n]
+    cents = np.asarray(cents_j)
+
+    adj0 = np.full((corpus.n_pad, m0), -1, np.int32)
+    medoids = np.zeros(kparts, np.int32)
+    host = np.asarray(corpus.vectors)
+    for c in range(kparts):
+        members = np.nonzero(assign == c)[0].astype(np.int32)
+        if len(members) == 0:
+            continue
+        # medoid = member closest to the centroid (cluster entry point)
+        diff = host[members] - cents[c][None, :]
+        medoids[c] = members[int(np.argmin((diff * diff).sum(axis=1)))]
+        if len(members) > 1:
+            adj0[members] = build_layer(
+                corpus.vectors, corpus.sq_norms, members,
+                cap=m0, k_cand=min(2 * m0, len(members) - 1),
+                metric=corpus.metric)
+
+    return IVFHNSWIndex(
+        corpus, centroids=jnp.asarray(cents),
+        medoids=jnp.asarray(medoids), adj0=jnp.asarray(adj0),
+        num_partitions=kparts, m=M, seed=seed)

@@ -1,0 +1,124 @@
+"""k-means on the MXU.
+
+The reference's coarse quantizer: k-means++ init with D^2-weighted sampling
+from a seeded Random(42) (ivf_flat.clj:32-60) and Lloyd's algorithm with a
+fixed 10 iterations where an emptied cluster keeps its old centroid
+(ivf_flat.clj:92-131). There the assignment step is an O(n*k*d) scalar loop;
+here it is one GEMM + argmin, and the centroid update is a one-hot matmul
+(segment-sum) — both MXU shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.ops.distance import BIG, distances_from_dots
+from hnsw_tpu.types import Metric
+
+
+def _scores(vectors, v_sq, centroids, metric):
+    c_sq = jnp.sum(centroids * centroids, axis=-1)
+    dots = jnp.dot(vectors, centroids.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return distances_from_dots(dots, v_sq[:, None], c_sq[None, :], metric)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def kmeans_pp_init(
+    vectors: jnp.ndarray,   # [N_pad, D]
+    v_sq: jnp.ndarray,
+    valid: jnp.ndarray,     # [N_pad] bool (False for padding rows)
+    seed: jnp.ndarray,      # int32 scalar
+    *,
+    k: int,
+    metric: Metric,
+) -> jnp.ndarray:
+    """Seeded k-means++ (D^2 sampling) — returns centroids [k, D]."""
+    n_pad, d = vectors.shape
+    key = jax.random.PRNGKey(seed)
+    k0, key = jax.random.split(key)
+    # first center: uniform over valid rows
+    logits0 = jnp.where(valid, 0.0, -jnp.inf)
+    first = jax.random.categorical(k0, logits0)
+    cents = jnp.zeros((k, d), jnp.float32).at[0].set(vectors[first])
+
+    def body(i, carry):
+        cents, min_d, key = carry
+        # distance to the most recent center
+        last = jax.lax.dynamic_slice_in_dim(cents, i - 1, 1, axis=0)
+        d_new = _scores(vectors, v_sq, last, metric)[:, 0]
+        min_d = jnp.minimum(min_d, d_new)
+        w = jnp.where(valid, jnp.maximum(min_d, 0.0) ** 2, 0.0)
+        key, kc = jax.random.split(key)
+        logits = jnp.where(valid, jnp.log(w + 1e-20), -jnp.inf)
+        nxt = jax.random.categorical(kc, logits)
+        cents = jax.lax.dynamic_update_slice_in_dim(
+            cents, vectors[nxt][None, :], i, axis=0)
+        return cents, min_d, key
+
+    cents, _, _ = jax.lax.fori_loop(
+        1, k, body, (cents, jnp.full((n_pad,), BIG), key))
+    return cents
+
+
+@partial(jax.jit, static_argnames=("iters", "metric"))
+def lloyd(
+    vectors: jnp.ndarray,     # [N_pad, D]
+    v_sq: jnp.ndarray,
+    valid: jnp.ndarray,       # [N_pad] bool
+    centroids: jnp.ndarray,   # [K, D]
+    *,
+    iters: int = 10,
+    metric: Metric = Metric.COSINE,
+):
+    """Fixed-iteration Lloyd. Returns (centroids [K, D], assign int32[N_pad])
+    with assign = -1 on padding rows. Empty clusters keep their previous
+    centroid (ivf_flat.clj:119-124)."""
+    k = centroids.shape[0]
+
+    def step(cents, _):
+        dist = _scores(vectors, v_sq, cents, metric)      # [N, K]
+        assign = jnp.argmin(dist, axis=-1)
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+        onehot = onehot * valid[:, None]
+        counts = jnp.sum(onehot, axis=0)                  # [K]
+        sums = jnp.dot(onehot.T, vectors,
+                       preferred_element_type=jnp.float32)  # [K, D]
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1.0), cents)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    dist = _scores(vectors, v_sq, centroids, metric)
+    assign = jnp.where(valid, jnp.argmin(dist, axis=-1).astype(jnp.int32), -1)
+    return centroids, assign
+
+
+def train_kmeans(vectors, v_sq, n: int, *, k: int, seed: int = 42,
+                 iters: int = 10, metric: Metric = Metric.COSINE):
+    """Full pipeline: k-means++ init then Lloyd. Host-friendly wrapper."""
+    n_pad = vectors.shape[0]
+    valid = jnp.arange(n_pad) < n
+    cents = kmeans_pp_init(vectors, v_sq, valid, jnp.int32(seed),
+                           k=k, metric=metric)
+    return lloyd(vectors, v_sq, valid, cents, iters=iters, metric=metric)
+
+
+def random_partition(n: int, k: int, seed: int = 42,
+                     shuffle: bool = True) -> np.ndarray:
+    """Random equal split — the reference's :random partitioning
+    (ivf_flat.clj:191-195, lightning.clj:125-129), with the shuffle that
+    partitioned HNSW documents as critical for ordered corpora
+    (partitioned_hnsw.clj:75-86). Returns assign [n] int32."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    assign = np.empty(n, np.int32)
+    # contiguous equal chunks over the shuffled order
+    bounds = np.linspace(0, n, k + 1).astype(np.int64)
+    for c in range(k):
+        assign[order[bounds[c]:bounds[c + 1]]] = c
+    return assign

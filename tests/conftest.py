@@ -4,12 +4,14 @@ multi-chip path; see __graft_entry__.py)."""
 
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Pin tests to a virtual 8-device CPU backend. The environment may force a
+# TPU platform via JAX_PLATFORMS (e.g. the axon tunnel), so overriding the
+# env var is not enough — set the config before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

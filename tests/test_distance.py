@@ -64,7 +64,7 @@ def test_gather_score_masks_invalid():
     valid = jnp.array([[True, False], [True, True]])
     d = np.asarray(gather_score(q, rows, v, v_sq, metric=Metric.EUCLIDEAN,
                                 valid=valid))
-    assert d[0, 0] < 1e-3          # self distance
+    assert d[0, 0] < 2e-2          # ~0: norm-formula f32 residue under sqrt
     assert d[0, 1] > 1e29          # masked
     assert d[1, 0] < 1e30
 

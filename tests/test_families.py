@@ -1,0 +1,88 @@
+"""Cross-family tests: every index family builds, searches, hits its
+mode-appropriate recall band vs brute force, and round-trips through
+to_state/from_state (the reference's integration_test.clj flows)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import brute_force_knn, make_clustered, recall_at_k
+from hnsw_tpu.models import FAMILIES, INDEX_CLASSES
+
+
+DATA = make_clustered(1200, 64, k=10, seed=21)
+QUERIES = DATA[:24]
+_, EXACT10 = brute_force_knn(DATA, QUERIES, 10, "cosine")
+
+# family -> (build kwargs, precise-mode recall floor)
+CASES = {
+    "ivf_flat": (dict(num_partitions=12), 0.9),
+    "lightning": (dict(num_partitions=12), 0.85),
+    "partitioned_hnsw": (dict(num_partitions=4), 0.85),
+    "ivf_hnsw": (dict(num_partitions=8), 0.75),
+    "hybrid_lsh": (dict(num_bits=6), 0.5),
+    "pcaf": (dict(n_components=32), 0.6),
+}
+
+
+@pytest.fixture(scope="module")
+def built():
+    out = {}
+    for fam, (kw, _) in CASES.items():
+        out[fam] = FAMILIES[fam](DATA, metric="cosine", **kw)
+    return out
+
+
+@pytest.mark.parametrize("fam", list(CASES))
+def test_recall_precise_mode(built, fam):
+    floor = CASES[fam][1]
+    idx = built[fam]
+    _, rows = idx.search_batch(QUERIES, 10, mode="precise")
+    r = recall_at_k(np.asarray(rows), EXACT10)
+    assert r >= floor, f"{fam}: recall {r} < {floor}"
+
+
+@pytest.mark.parametrize("fam", list(CASES))
+def test_mode_recall_monotone_ish(built, fam):
+    idx = built[fam]
+    _, r_turbo = idx.search_batch(QUERIES, 10, mode="turbo")
+    _, r_precise = idx.search_batch(QUERIES, 10, mode="precise")
+    rt = recall_at_k(np.asarray(r_turbo), EXACT10)
+    rp = recall_at_k(np.asarray(r_precise), EXACT10)
+    assert rp >= rt - 0.05, f"{fam}: precise {rp} < turbo {rt}"
+
+
+@pytest.mark.parametrize("fam", list(CASES))
+def test_results_sorted_and_unique(built, fam):
+    idx = built[fam]
+    d, rows = idx.search_batch(QUERIES[:4], 10, mode="balanced")
+    d, rows = np.asarray(d), np.asarray(rows)
+    for qi in range(4):
+        real = rows[qi][rows[qi] >= 0]
+        assert len(set(real.tolist())) == len(real), f"{fam}: dup rows"
+        dd = d[qi][rows[qi] >= 0]
+        assert (np.diff(dd) >= -1e-6).all(), f"{fam}: unsorted"
+
+
+@pytest.mark.parametrize("fam", list(CASES))
+def test_state_roundtrip(built, fam):
+    idx = built[fam]
+    state = idx.to_state()
+    idx2 = INDEX_CLASSES[idx.family].from_state(idx.corpus, state)
+    _, r1 = idx.search_batch(QUERIES[:4], 5, mode="balanced")
+    _, r2 = idx2.search_batch(QUERIES[:4], 5, mode="balanced")
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+@pytest.mark.parametrize("fam", list(CASES))
+def test_index_info(built, fam):
+    info = built[fam].index_info()
+    assert info["num_vectors"] == 1200
+    assert info["dimensions"] == 64
+    assert info["metric"] == "cosine"
+
+
+def test_self_query_found_by_partition_families(built):
+    # a corpus vector's own partition is always probed in precise mode
+    for fam in ("ivf_flat", "partitioned_hnsw", "pcaf"):
+        hits = built[fam].search(DATA[100], 1, mode="precise")
+        assert hits and hits[0]["distance"] < 1e-3, fam
