@@ -1,0 +1,154 @@
+"""Measurement core.
+
+Replicates the reference's benchmark methodology (bench.clj): build-time
+measurement (:98-108), latency percentile tables min/p50/p95/p99/max/avg
+computed from sorted samples (:109-122), exact-kNN ground truth via brute
+force (:72-84) and recall = |approx ∩ exact| / k averaged over queries
+(:86-92), with queries drawn from the corpus itself (self-recall). QPS here
+is batched-throughput QPS (batch latency / batch size) — the TPU analogue of
+the reference's 20-thread fan-out (parallel_search.clj:51-95) — plus a
+single-query latency figure for the 1-thread comparison.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from hnsw_tpu.config import Mode
+
+
+def measure_build(build_fn: Callable[[], Any]) -> tuple:
+    """Returns (index, seconds)."""
+    t0 = time.perf_counter()
+    idx = build_fn()
+    _sync(idx)
+    return idx, time.perf_counter() - t0
+
+
+def latency_report(samples_ms) -> Dict[str, float]:
+    """min/p50/p95/p99/max/avg table (bench.clj:109-122)."""
+    s = np.sort(np.asarray(samples_ms, np.float64))
+    if len(s) == 0:
+        return {}
+    pct = lambda p: float(s[min(int(len(s) * p), len(s) - 1)])
+    return {
+        "min_ms": float(s[0]),
+        "p50_ms": pct(0.50),
+        "p95_ms": pct(0.95),
+        "p99_ms": pct(0.99),
+        "max_ms": float(s[-1]),
+        "avg_ms": float(s.mean()),
+    }
+
+
+def run_search_benchmark(
+    index,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    mode: Mode = Mode.BALANCED,
+    batch_size: int = 256,
+    warmup: int = 3,
+    iters: int = 10,
+    single_query_iters: int = 30,
+) -> Dict[str, Any]:
+    """Batched-throughput QPS + single-query latency percentiles."""
+    queries = np.asarray(queries, np.float32)
+    nq = len(queries)
+    b = min(batch_size, nq)
+    batch = queries[:b]
+
+    search = getattr(index, "search_batch")
+    # warmup (compile + cache), like the reference's warmup loops
+    # (main.clj:204-210, reproduce_02ms.clj:130-135)
+    for _ in range(warmup):
+        d, r = search(batch, k, mode)
+    _block(d)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, r = search(batch, k, mode)
+    _block(d)
+    dt = (time.perf_counter() - t0) / iters
+    qps = b / dt
+
+    # single-query latency samples
+    lat = []
+    one = queries[:1]
+    for _ in range(3):
+        d, _ = search(one, k, mode)
+    _block(d)
+    for i in range(single_query_iters):
+        q = queries[i % nq: i % nq + 1]
+        t0 = time.perf_counter()
+        d, _ = search(q, k, mode)
+        _block(d)
+        lat.append((time.perf_counter() - t0) * 1e3)
+
+    rep = latency_report(lat)
+    rep.update({
+        "qps_batched": float(qps),
+        "batch_size": b,
+        "batch_latency_ms": dt * 1e3,
+        "per_query_ms_batched": dt * 1e3 / b,
+        "qps_single": 1e3 / rep["avg_ms"] if rep.get("avg_ms") else 0.0,
+        "k": k,
+        "mode": str(Mode.coerce(mode).value),
+    })
+    return rep
+
+
+def run_recall_benchmark(
+    index,
+    data: np.ndarray,
+    *,
+    k: int = 10,
+    mode: Mode = Mode.BALANCED,
+    num_queries: int = 100,
+    exact_index=None,
+    seed: int = 42,
+) -> Dict[str, float]:
+    """Recall@k vs the exact flat index (bench.clj:286-310): queries drawn
+    from the corpus itself."""
+    from hnsw_tpu.models.flat import FlatIndex
+
+    rng = np.random.default_rng(seed)
+    n = len(data)
+    qidx = rng.choice(n, size=min(num_queries, n), replace=False)
+    queries = np.asarray(data, np.float32)[qidx]
+
+    if exact_index is None:
+        exact_index = FlatIndex(index.corpus)
+    _, exact_rows = exact_index.search_batch(queries, k)
+    _, approx_rows = index.search_batch(queries, k, mode)
+    exact_rows = np.asarray(exact_rows)
+    approx_rows = np.asarray(approx_rows)
+
+    recalls = []
+    for a, e in zip(approx_rows, exact_rows):
+        ea = set(int(x) for x in e if int(x) >= 0)
+        aa = set(int(x) for x in a if int(x) >= 0)
+        recalls.append(len(aa & ea) / max(len(ea), 1))
+    return {
+        "recall_at_k": float(np.mean(recalls)),
+        "k": k,
+        "num_queries": len(queries),
+        "mode": str(Mode.coerce(mode).value),
+    }
+
+
+def _block(x):
+    try:
+        x.block_until_ready()
+    except AttributeError:
+        pass
+
+
+def _sync(idx):
+    for attr in ("corpus",):
+        c = getattr(idx, attr, None)
+        if c is not None and hasattr(c, "vectors"):
+            _block(c.vectors)
