@@ -31,20 +31,21 @@ from hnsw_tpu.types import Corpus, Metric
 DEFAULT_TILE = 32768
 
 
-@partial(jax.jit, static_argnames=("k", "n", "metric", "tile", "precision"))
+@partial(jax.jit, static_argnames=("k", "metric", "tile", "precision"))
 def exact_topk(
     vectors: jnp.ndarray,   # [N_pad, D]
     v_sq: jnp.ndarray,      # [N_pad]
     queries: jnp.ndarray,   # [B, D]
     *,
     k: int,
-    n: int,
+    n,                      # valid row count (traced: no recompile per size)
     metric: Metric,
     tile: int = DEFAULT_TILE,
     precision: str = "f32",
 ):
     """Exact top-k over the packed corpus. Returns (dists [B,k], rows [B,k]);
     rows >= n never appear (masked to BIG); if k > n the tail has row -1."""
+    n = jnp.asarray(n, jnp.int32)
     n_pad, d = vectors.shape
     b = queries.shape[0]
     kk = min(k, n_pad)

@@ -50,18 +50,11 @@ BUILD_TILE = 1024
 # neighbor-selection heuristic (graph.clj:163-201), vectorized
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cap", "keep_pruned"))
-def heuristic_select(
-    cand_ids: jnp.ndarray,   # [T, K] int32, ascending by cand_d, -1 invalid
-    cand_d: jnp.ndarray,     # [T, K] distance candidate -> node
-    pair_d: jnp.ndarray,     # [T, K, K] distance candidate -> candidate
-    *,
-    cap: int,
-    keep_pruned: bool = True,
-):
-    """Returns sel_ids [T, cap] (-1 padded). Candidate j is selected iff it
-    is closer to the node than to every already-selected candidate; pruned
-    candidates refill spare slots in ascending order when keep_pruned."""
+def _heuristic_impl(cand_ids, cand_d, pair_d, *, cap, keep_pruned=True):
+    """Traceable core of heuristic_select. Returns sel_ids [T, cap]
+    (-1 padded). Candidate j is selected iff it is closer to the node than
+    to every already-selected candidate; pruned candidates refill spare
+    slots in ascending order when keep_pruned."""
     t, kk = cand_ids.shape
     valid = cand_ids >= 0
 
@@ -88,8 +81,15 @@ def heuristic_select(
     return out
 
 
-@partial(jax.jit, static_argnames=("metric",))
-def _pairwise_among(vecs: jnp.ndarray, sq: jnp.ndarray, *, metric: Metric):
+@partial(jax.jit, static_argnames=("cap", "keep_pruned"))
+def heuristic_select(cand_ids, cand_d, pair_d, *, cap: int,
+                     keep_pruned: bool = True):
+    """Jitted wrapper over _heuristic_impl (see there for semantics)."""
+    return _heuristic_impl(cand_ids, cand_d, pair_d, cap=cap,
+                           keep_pruned=keep_pruned)
+
+
+def _pairwise_among_impl(vecs, sq, metric: Metric):
     """Distances among gathered candidates. vecs: [T, K, D], sq: [T, K].
     Returns [T, K, K]."""
     dots = jnp.einsum("tkd,tld->tkl", vecs, vecs,
@@ -119,25 +119,8 @@ def select_from_candidates(
 ):
     """Full pipeline for one node-tile: dedupe candidates, score them against
     the node, sort ascending, pairwise-score, heuristic-select cap."""
-    t, c = cand_ids.shape
-    valid = (cand_ids >= 0) & (cand_ids != self_ids[:, None])
-    # dedupe: later duplicates invalid
-    eq = cand_ids[:, :, None] == cand_ids[:, None, :]
-    earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
-    dup = jnp.any(eq & earlier & valid[:, None, :], axis=-1)
-    valid = valid & ~dup
-
-    d = gather_score(node_vecs, jnp.maximum(cand_ids, 0), vectors, v_sq,
-                     metric=metric, valid=valid)           # [T, C]
-    d_sorted, pos = top_k_ascending(d, c)
-    ids_sorted = jnp.where(d_sorted < BIG,
-                           jnp.take_along_axis(cand_ids, pos, axis=-1), -1)
-
-    gat = jnp.take(vectors, jnp.maximum(ids_sorted, 0), axis=0)  # [T, C, D]
-    gsq = jnp.take(v_sq, jnp.maximum(ids_sorted, 0), axis=0)
-    pair_d = _pairwise_among(gat, gsq, metric=metric)
-    return heuristic_select(ids_sorted, d_sorted, pair_d,
-                            cap=cap, keep_pruned=keep_pruned)
+    return _select_impl(node_vecs, cand_ids, vectors, v_sq, self_ids,
+                        cap=cap, metric=metric, keep_pruned=keep_pruned)
 
 
 # ---------------------------------------------------------------------------
@@ -169,6 +152,86 @@ def reverse_candidates(adj: np.ndarray, n: int, rev_cap: int) -> np.ndarray:
 # one-layer build: exact kNN candidates -> heuristic -> symmetrize
 # ---------------------------------------------------------------------------
 
+# layers at or below this size build entirely on host (no device compiles)
+HOST_LAYER_MAX = 512
+
+
+def _host_distances(x: np.ndarray, metric: Metric) -> np.ndarray:
+    sq = (x * x).sum(axis=1)
+    dots = x @ x.T
+    if metric == Metric.COSINE:
+        denom = np.sqrt(np.maximum(sq[:, None] * sq[None, :], 1e-12))
+        return (1.0 - dots / denom).astype(np.float32)
+    if metric == Metric.EUCLIDEAN:
+        return np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2 * dots, 0.0)
+                       ).astype(np.float32)
+    return (-dots).astype(np.float32)
+
+
+def _host_heuristic(cand_ids, cand_d, pair_d, cap):
+    """Numpy twin of heuristic_select: vectorized over nodes, K-step scan."""
+    t, kk = cand_ids.shape
+    valid = cand_ids >= 0
+    sel = np.zeros((t, kk), bool)
+    for j in range(kk):
+        masked = np.where(sel, pair_d[:, j, :], np.inf)
+        dmin = masked.min(axis=1)
+        good = (cand_d[:, j] < dmin) & (sel.sum(axis=1) < cap) & valid[:, j]
+        sel[:, j] = good
+    order = np.arange(kk, dtype=np.float32)[None, :]
+    key = np.where(sel, order, order + kk)
+    key = np.where(valid, key, 8.0 * kk)
+    pos = np.argsort(key, axis=1)[:, :cap]
+    out = np.take_along_axis(cand_ids, pos, axis=1)
+    out_key = np.take_along_axis(key, pos, axis=1)
+    out = np.where(out_key < 4.0 * kk, out, NONE).astype(np.int32)
+    if kk < cap:
+        out = np.pad(out, ((0, 0), (0, cap - kk)), constant_values=NONE)
+    return out
+
+
+def _build_layer_host(x: np.ndarray, *, cap: int, k_cand: int,
+                      metric: Metric) -> np.ndarray:
+    """Whole-layer build in numpy for small layers: zero device compiles."""
+    ns = x.shape[0]
+    dist = _host_distances(x, metric)
+    np.fill_diagonal(dist, np.inf)
+    kq = min(k_cand, ns - 1)
+    cand = np.argsort(dist, axis=1, kind="stable")[:, :kq].astype(np.int32)
+    cand_d = np.take_along_axis(dist, cand, axis=1)
+    pair_d = dist[cand[:, :, None], cand[:, None, :]]
+    fwd = _host_heuristic(cand, cand_d, pair_d, cap)
+
+    rev = reverse_candidates(fwd, ns, rev_cap=cap)
+    both = np.concatenate([fwd, rev], axis=1)
+    # dedupe + drop self, re-sort ascending, re-run heuristic
+    out = np.full((ns, cap), NONE, np.int32)
+    c2 = both.shape[1]
+    rows = np.arange(ns)
+    d2 = np.where(both >= 0, dist[rows[:, None], np.maximum(both, 0)], np.inf)
+    d2 = np.where(both == rows[:, None], np.inf, d2)
+    # mark later duplicates
+    for j in range(1, c2):
+        dup = (both[:, j][:, None] == both[:, :j]).any(axis=1) & (both[:, j] >= 0)
+        d2[dup, j] = np.inf
+    pos = np.argsort(d2, axis=1, kind="stable")[:, :c2]
+    ids_sorted = np.where(np.take_along_axis(d2, pos, axis=1) < np.inf,
+                          np.take_along_axis(both, pos, axis=1), NONE)
+    d_sorted = np.take_along_axis(d2, pos, axis=1).astype(np.float32)
+    d_sorted[~np.isfinite(d_sorted)] = 1e30
+    pair2 = dist[np.maximum(ids_sorted, 0)[:, :, None],
+                 np.maximum(ids_sorted, 0)[:, None, :]]
+    out = _host_heuristic(ids_sorted.astype(np.int32), d_sorted, pair2, cap)
+    return out
+
+
+def _pow2_at_least(x: int, floor: int) -> int:
+    p = floor
+    while p < x:
+        p *= 2
+    return p
+
+
 def build_layer(
     vectors: jnp.ndarray,     # [N_pad, D] global corpus
     v_sq: jnp.ndarray,
@@ -180,43 +243,138 @@ def build_layer(
     tile: int = BUILD_TILE,
 ) -> np.ndarray:
     """Build one layer's adjacency over member_rows. Returns [ns, cap] of
-    GLOBAL row ids (-1 padded)."""
+    GLOBAL row ids (-1 padded).
+
+    Shapes are bucketed aggressively (power-of-2 member counts, fixed query
+    tiles) so the whole hierarchy compiles a handful of kernel variants; tiny
+    layers skip the device entirely."""
     ns = len(member_rows)
     if ns <= 1:
         return np.full((ns, cap), NONE, np.int32)
-
     member_rows = np.asarray(member_rows, np.int32)
-    sub = jnp.take(vectors, jnp.asarray(member_rows), axis=0)   # [ns, D]
-    sub_sq = jnp.take(v_sq, jnp.asarray(member_rows), axis=0)
+
+    if ns <= HOST_LAYER_MAX:
+        x = np.asarray(jnp.take(vectors, jnp.asarray(member_rows), axis=0))
+        out_local = _build_layer_host(x, cap=cap, k_cand=k_cand, metric=metric)
+        return np.where(out_local >= 0,
+                        member_rows[np.maximum(out_local, 0)],
+                        NONE).astype(np.int32)
+
+    # device path: pad member count to a power of two (zero rows, masked by
+    # the traced n argument and self/valid checks downstream). The entire
+    # layer — tile scan, heuristic, reverse edges, re-prune — is ONE jitted
+    # dispatch; the only host transfer is the final adjacency fetch.
+    ns_pad = _pow2_at_least(ns, 2 * HOST_LAYER_MAX)
+    rows_padded = np.zeros(ns_pad, np.int32)
+    rows_padded[:ns] = member_rows
+    sub = jnp.take(vectors, jnp.asarray(rows_padded), axis=0)   # [ns_pad, D]
+    mask = (jnp.arange(ns_pad) < ns)[:, None]
+    sub = jnp.where(mask, sub, 0.0)
     kq = min(k_cand + 1, ns)  # +1: self will be dropped
 
-    fwd_local = np.full((ns, cap), NONE, np.int32)
-    for start in range(0, ns, tile):
-        stop = min(start + tile, ns)
-        q = sub[start:stop]
-        _, rows = exact_topk(sub, sub_sq, q, k=kq, n=ns, metric=metric)
-        selfi = jnp.arange(start, stop, dtype=jnp.int32)
-        sel = select_from_candidates(q, rows, sub, sub_sq, selfi,
-                                     cap=cap, metric=metric)
-        fwd_local[start:stop] = np.asarray(sel)
-
-    # symmetrize: candidates = forward ∪ reverse, heuristic re-prune
-    rev_local = reverse_candidates(fwd_local, ns, rev_cap=cap)
-    out_local = np.full((ns, cap), NONE, np.int32)
-    for start in range(0, ns, tile):
-        stop = min(start + tile, ns)
-        cand = np.concatenate([fwd_local[start:stop], rev_local[start:stop]],
-                              axis=1)
-        q = sub[start:stop]
-        selfi = jnp.arange(start, stop, dtype=jnp.int32)
-        sel = select_from_candidates(q, jnp.asarray(cand), sub, sub_sq, selfi,
-                                     cap=cap, metric=metric)
-        out_local[start:stop] = np.asarray(sel)
-
-    # map local -> global ids
+    out_local = np.asarray(_layer_fused(sub, ns, cap=cap, kq=kq,
+                                        metric=metric, tile=min(tile, ns_pad)))
+    out_local = out_local[:ns]
     out = np.where(out_local >= 0,
                    member_rows[np.maximum(out_local, 0)], NONE).astype(np.int32)
     return out
+
+
+def _select_impl(node_vecs, cand_ids, vectors, v_sq, self_ids, *, cap,
+                 metric, keep_pruned=True):
+    """Traceable core of select_from_candidates (shared by the jitted
+    wrapper and the fused layer builder)."""
+    t, c = cand_ids.shape
+    valid = (cand_ids >= 0) & (cand_ids != self_ids[:, None])
+    eq = cand_ids[:, :, None] == cand_ids[:, None, :]
+    earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
+    dup = jnp.any(eq & earlier & valid[:, None, :], axis=-1)
+    valid = valid & ~dup
+
+    d = gather_score(node_vecs, jnp.maximum(cand_ids, 0), vectors, v_sq,
+                     metric=metric, valid=valid)
+    d_sorted, pos = top_k_ascending(d, c)
+    ids_sorted = jnp.where(d_sorted < BIG,
+                           jnp.take_along_axis(cand_ids, pos, axis=-1), -1)
+    gat = jnp.take(vectors, jnp.maximum(ids_sorted, 0), axis=0)
+    gsq = jnp.take(v_sq, jnp.maximum(ids_sorted, 0), axis=0)
+    pair_d = _pairwise_among_impl(gat, gsq, metric)
+    return _heuristic_impl(ids_sorted, d_sorted, pair_d, cap=cap,
+                           keep_pruned=keep_pruned)
+
+
+def _reverse_device(fwd: jnp.ndarray, rev_cap: int) -> jnp.ndarray:
+    """Device-side reverse-edge collection: the jnp twin of
+    reverse_candidates. fwd: [ns_pad, cap] -> rev [ns_pad, rev_cap]."""
+    ns_pad, cap = fwd.shape
+    e = ns_pad * cap
+    dst = fwd.reshape(-1)
+    src = jax.lax.broadcasted_iota(jnp.int32, (ns_pad, cap), 0).reshape(-1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (ns_pad, cap), 1).reshape(-1)
+    # stable order by (dst, slot); invalid edges sort last
+    key = jnp.where(dst >= 0, dst * cap + slot, e)
+    order = jnp.argsort(key, stable=True)
+    dst_s = jnp.take(dst, order)
+    src_s = jnp.take(src, order)
+    first = jnp.searchsorted(dst_s, dst_s, side="left")
+    pos = jnp.arange(e, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (dst_s >= 0) & (pos < rev_cap)
+    row = jnp.where(ok, dst_s, ns_pad)
+    col = jnp.where(ok, pos, rev_cap)
+    rev = jnp.full((ns_pad + 1, rev_cap + 1), NONE, jnp.int32)
+    rev = rev.at[row, col].set(src_s)
+    return rev[:ns_pad, :rev_cap]
+
+
+@partial(jax.jit, static_argnames=("cap", "kq", "metric", "tile"))
+def _layer_fused(sub: jnp.ndarray, n, *, cap: int, kq: int, metric: Metric,
+                 tile: int):
+    """One-dispatch layer build: forward pass (tile scan: exact scores ->
+    top-kq -> heuristic), device reverse edges, re-prune pass."""
+    ns_pad, d = sub.shape
+    n = jnp.asarray(n, jnp.int32)
+    sub_sq = jnp.sum(sub * sub, axis=-1)
+    num_tiles = ns_pad // tile
+    row_valid = jax.lax.broadcasted_iota(jnp.int32, (1, ns_pad), 1) < n
+
+    def score_tile(q):
+        dots = jnp.dot(q, sub.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        dist = distances_from_dots(dots, q_sq, sub_sq, metric)
+        return jnp.where(row_valid, dist, BIG)
+
+    def pass1(_, ti):
+        start = ti * tile
+        q = jax.lax.dynamic_slice_in_dim(sub, start, tile, 0)
+        dist = score_tile(q)
+        _, cand = top_k_ascending(dist, kq)
+        selfi = start + jnp.arange(tile, dtype=jnp.int32)
+        sel = _select_impl(q, cand, sub, sub_sq, selfi, cap=cap,
+                           metric=metric)
+        # padding query rows must not emit edges (they would leak back in
+        # as reverse-edge sources)
+        sel = jnp.where((selfi < n)[:, None], sel, -1)
+        return 0, sel
+
+    _, fwd = jax.lax.scan(pass1, 0, jnp.arange(num_tiles, dtype=jnp.int32))
+    fwd = fwd.reshape(ns_pad, cap)
+    rev = _reverse_device(fwd, rev_cap=cap)
+
+    def pass2(_, ti):
+        start = ti * tile
+        q = jax.lax.dynamic_slice_in_dim(sub, start, tile, 0)
+        cand = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(fwd, start, tile, 0),
+            jax.lax.dynamic_slice_in_dim(rev, start, tile, 0),
+        ], axis=1)
+        selfi = start + jnp.arange(tile, dtype=jnp.int32)
+        sel = _select_impl(q, cand, sub, sub_sq, selfi, cap=cap,
+                           metric=metric)
+        return 0, sel
+
+    _, out = jax.lax.scan(pass2, 0, jnp.arange(num_tiles, dtype=jnp.int32))
+    return out.reshape(ns_pad, cap)
 
 
 # ---------------------------------------------------------------------------
@@ -258,12 +416,31 @@ def build_graph(
                                cap=m0, k_cand=k_cand, metric=metric)
 
     adj_upper = np.full((max_level, n_pad, m), NONE, np.int32)
+    # small upper layers build on host; fetch their union of member vectors
+    # in ONE device->host transfer (members(l+1) ⊆ members(l))
+    host_x = None
+    host_pos = None
     for l in range(1, max_level + 1):
         members = np.nonzero(levels_np >= l)[0].astype(np.int32)
-        if len(members) > 1:
+        if len(members) <= 1:
+            continue
+        if len(members) > HOST_LAYER_MAX:
             adj_upper[l - 1, members] = build_layer(
                 corpus.vectors, corpus.sq_norms, members,
                 cap=m, k_cand=min(k_cand, 4 * m), metric=metric)
+            continue
+        if host_x is None:
+            host_x = np.asarray(
+                jnp.take(corpus.vectors, jnp.asarray(members), axis=0))
+            host_pos = {int(r): i for i, r in enumerate(members)}
+            x = host_x
+        else:
+            x = host_x[[host_pos[int(r)] for r in members]]
+        out_local = _build_layer_host(x, cap=m, k_cand=min(k_cand, 4 * m),
+                                      metric=metric)
+        adj_upper[l - 1, members] = np.where(
+            out_local >= 0, members[np.maximum(out_local, 0)],
+            NONE).astype(np.int32)
 
     if n:
         top_nodes = np.nonzero(levels_np == max_level)[0]
@@ -348,7 +525,7 @@ def insert_wave(
             d_c, i_c = hnsw_search_batch(
                 vectors, v_sq, adj_l, upper,
                 jnp.full((q.shape[0],), graph.entry, jnp.int32), q,
-                k=min(ef_c, max(graph.n, 1)), ef=ef_c, metric=metric)
+                k=ef_c, ef=ef_c, metric=metric)
             cands.append(np.asarray(i_c))
         # intra-wave candidates at this level
         wave_members = np.nonzero(at_level)[0]

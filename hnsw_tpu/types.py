@@ -125,8 +125,15 @@ class Corpus:
         out[~valid] = None
         return out.reshape(rows.shape)
 
-    def pad_queries(self, queries: np.ndarray) -> jnp.ndarray:
-        """Pad host queries [..., dim] to [..., d_pad] float32 on device."""
+    def pad_queries(self, queries) -> jnp.ndarray:
+        """Pad queries [..., dim] to [..., d_pad] float32. Device arrays of
+        the right shape pass through untouched (no host roundtrip)."""
+        if isinstance(queries, jnp.ndarray) and not isinstance(queries, np.ndarray):
+            if queries.ndim == 2 and queries.shape[-1] == self.d_pad:
+                return queries.astype(jnp.float32)
+            if queries.ndim == 2 and queries.shape[-1] == self.dim:
+                return jnp.pad(queries.astype(jnp.float32),
+                               ((0, 0), (0, self.d_pad - self.dim)))
         q = np.asarray(queries, dtype=np.float32)
         squeeze = q.ndim == 1
         if squeeze:
