@@ -109,7 +109,7 @@ class FlatIndex(ANNIndex):
         self.tile = tile
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         return exact_topk(
             self.corpus.vectors, self.corpus.sq_norms, q,
             k=k, n=self.corpus.n, metric=self.corpus.metric,

@@ -35,7 +35,7 @@ class HNSWIndex(ANNIndex):
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      ef: Optional[int] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         if self.graph.n == 0 or self.graph.entry < 0:
             b = q.shape[0]
             return (jnp.full((b, k), np.float32(np.inf)),

@@ -42,7 +42,7 @@ class IVFFlatIndex(ANNIndex):
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      num_probes: Optional[int] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         if num_probes is None:
             num_probes = IVF_FLAT_PROBES[Mode.coerce(mode)]
         mask, _ = probe_mask_from_centroids(

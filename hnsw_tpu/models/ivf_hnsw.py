@@ -49,7 +49,7 @@ class IVFHNSWIndex(ANNIndex):
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      num_probes: Optional[int] = None,
                      ef: Optional[int] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         b = q.shape[0]
         mode = Mode.coerce(mode)
         probes_m, ef_m = IVF_HNSW_MODES[mode]

@@ -46,7 +46,7 @@ class LightningIndex(IVFFlatIndex):
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      percent: Optional[float] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         kp = self.table.k_parts
         if percent is None:
             percent = lightning_percent(mode, kp)

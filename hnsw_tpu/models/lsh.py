@@ -90,7 +90,7 @@ class HybridLSHIndex(ANNIndex):
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      num_probes: Optional[int] = None,
                      radius: Optional[int] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         mode = Mode.coerce(mode)
         p_m, r_m = LSH_MODES[mode]
         probes = num_probes or p_m

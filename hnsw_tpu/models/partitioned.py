@@ -54,7 +54,7 @@ class PartitionedHNSWIndex(ANNIndex):
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      ef: Optional[int] = None,
                      k_per_partition: Optional[int] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         b = q.shape[0]
         mode = Mode.coerce(mode)
         if k_per_partition is None:

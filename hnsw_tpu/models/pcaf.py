@@ -46,7 +46,7 @@ class PCAFIndex(ANNIndex):
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      k_filter: Optional[int] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         mode = Mode.coerce(mode)
         kf = k_filter or PCAF_KFILTER[mode]
         # reference caps candidates at min(k-filter, 3k) (pcaf.clj:233-253);

@@ -104,7 +104,7 @@ class ShardedFlatIndex:
         self.rows = jax.device_put(jnp.asarray(rows), shard)
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         return sharded_exact_topk(self.mesh, self.vectors, self.v_sq,
                                   self.rows, q, k=k,
                                   metric=self.corpus.metric, axis=self.axis)
@@ -209,7 +209,7 @@ class ShardedPartitionedHNSW:
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      ef: Optional[int] = None,
                      k_per_partition: Optional[int] = None):
-        q = self.corpus.pad_queries(np.asarray(queries))
+        q = self.corpus.pad_queries(queries)
         mode = Mode.coerce(mode)
         if k_per_partition is None:
             k_per_partition = k if mode == Mode.PRECISE else \
