@@ -20,7 +20,7 @@ from hnsw_tpu.models.base import ANNIndex
 from hnsw_tpu.models.common import as_corpus
 from hnsw_tpu.models.hnsw.build import build_graph, insert_wave
 from hnsw_tpu.models.hnsw.graph import HNSWGraph, assign_levels, empty_graph
-from hnsw_tpu.models.hnsw.search import hnsw_search_batch
+from hnsw_tpu.models.hnsw.search import hnsw_search_batch, sample_entries
 from hnsw_tpu.types import Corpus, Metric
 
 
@@ -28,10 +28,24 @@ class HNSWIndex(ANNIndex):
     family = "hnsw"
 
     def __init__(self, corpus: Corpus, graph: HNSWGraph, *,
-                 expand: int = 4):
+                 expand: int = 4, entry_mode: str = "sample",
+                 entry_sample: int = 512, precision: str = "default"):
         super().__init__(corpus)
         self.graph = graph
         self.expand = expand
+        self.entry_mode = entry_mode
+        self.entry_sample = entry_sample
+        self.precision = precision
+        self._sample_rows = None
+
+    def _entry_rows(self) -> jnp.ndarray:
+        if self._sample_rows is None or \
+                self._sample_rows.shape[0] > max(self.graph.n, 1):
+            s = min(self.entry_sample, max(self.graph.n, 1))
+            rows = np.unique(np.linspace(0, max(self.graph.n - 1, 0), s)
+                             .astype(np.int32))
+            self._sample_rows = jnp.asarray(rows)
+        return self._sample_rows
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      ef: Optional[int] = None):
@@ -41,12 +55,22 @@ class HNSWIndex(ANNIndex):
             return (jnp.full((b, k), np.float32(np.inf)),
                     jnp.full((b, k), -1, jnp.int32))
         ef = ef if ef is not None else ef_for(mode, k)
+        if self.entry_mode == "sample":
+            # one GEMM against a row sample replaces the serial upper-layer
+            # descent (see sample_entries); the hierarchy stays available
+            # via entry_mode="hierarchy"
+            entries, _ = sample_entries(
+                self.corpus.vectors, self.corpus.sq_norms,
+                self._entry_rows(), q, metric=self.corpus.metric)
+            upper = self.graph.adj_upper[:0]
+        else:
+            entries = jnp.full((q.shape[0],), self.graph.entry, jnp.int32)
+            upper = self.graph.adj_upper
         d, r = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
-            self.graph.adj0, self.graph.adj_upper,
-            jnp.full((q.shape[0],), self.graph.entry, jnp.int32), q,
+            self.graph.adj0, upper, entries, q,
             k=k, ef=ef, expand=self.expand,
-            metric=self.corpus.metric,
+            metric=self.corpus.metric, precision=self.precision,
         )
         return d, r
 
@@ -68,6 +92,7 @@ class HNSWIndex(ANNIndex):
             new_ids = olds + news
         self.corpus = Corpus.from_array(merged, metric=self.corpus.metric,
                                         ids=new_ids)
+        self._sample_rows = None   # entry sample must cover the new rows
         new_rows = np.arange(old_n, old_n + w, dtype=np.int32)
         ml = DEFAULTS["ml"]
         new_levels = assign_levels(w, ml, DEFAULTS["seed"] + old_n + seed_offset)

@@ -9,12 +9,19 @@ The TPU recast (SURVEY.md §3.2): every query in a batch advances in lockstep
 through fixed-shape hops. Each hop expands the E best not-yet-expanded beam
 entries, gathers their fixed-degree adjacency rows, scores all E*M0 neighbors
 in one fused gather+dot, and merges into the beam with a masked top-ef.
-The visited HashSet becomes a per-query bitmask over int node ids
-(uint32[B, N/32]); "expanded" bits are monotone, so re-inserting an evicted
-but unexpanded node is wasted compute, never a correctness issue. Termination
-matches the serial rule (best unexpanded candidate worse than the current
-worst beam member => stop) via a per-query active flag inside one
-lax.while_loop.
+
+Visited-set accounting exploits a monotonicity invariant: the beam's worst
+distance only ever decreases, so a node evicted from the beam can never
+re-enter it. Therefore per-slot "expanded" flags carried THROUGH the top-k
+merge are a complete replacement for the reference's per-query visited
+HashSet (and for a bitmask over node ids — measured 3.4 ms/hop of
+take_along_axis traffic at B=1024). Termination matches the serial rule
+(best unexpanded candidate worse than the current worst beam member) via a
+per-query active flag inside one lax.while_loop.
+
+Scoring inside the loop runs at DEFAULT matmul precision (bf16-class MXU
+passes); the final top-k is re-scored at full f32 precision before being
+returned, so reported distances are exact.
 """
 
 from __future__ import annotations
@@ -24,16 +31,27 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from hnsw_tpu.models.hnsw.graph import set_bits, test_bits, num_words
-from hnsw_tpu.ops.distance import BIG, gather_score
+from hnsw_tpu.ops.distance import BIG, _dist_bc
 from hnsw_tpu.ops.topk import top_k_ascending
 from hnsw_tpu.types import Metric
 
 
-def _greedy_descent(queries, cur, cur_d, adj_l, vectors, v_sq, metric):
+def _score(queries, rows, vectors, v_sq, metric, valid, precision):
+    """gather+dot candidate scoring at selectable MXU precision."""
+    cand = jnp.take(vectors, rows, axis=0)                 # [B, C, D]
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    dots = jnp.einsum("bd,bcd->bc", queries, cand,
+                      preferred_element_type=jnp.float32, precision=prec)
+    q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    c_sq = jnp.take(v_sq, rows, axis=0)
+    d = _dist_bc(dots, q_sq, c_sq, metric)
+    return jnp.where(valid, d, BIG)
+
+
+def _greedy_descent(queries, cur, cur_d, adj_l, vectors, v_sq, metric,
+                    precision):
     """One-probe greedy walk on an upper layer until no neighbor improves —
-    the ef=1 upper-layer phase of ultra_fast.clj:358-360, batched.
-    cur/cur_d: [B]."""
+    the ef=1 upper-layer phase of ultra_fast.clj:358-360, batched."""
 
     def cond(state):
         _, _, improving = state
@@ -43,8 +61,8 @@ def _greedy_descent(queries, cur, cur_d, adj_l, vectors, v_sq, metric):
         cur, cur_d, improving = state
         nb = jnp.take(adj_l, cur, axis=0)                      # [B, M]
         valid = (nb >= 0) & improving[:, None]
-        d = gather_score(queries, jnp.maximum(nb, 0), vectors, v_sq,
-                         metric=metric, valid=valid)           # [B, M]
+        d = _score(queries, jnp.maximum(nb, 0), vectors, v_sq, metric,
+                   valid, precision)
         j = jnp.argmin(d, axis=-1)
         best_d = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
         best_id = jnp.take_along_axis(nb, j[:, None], axis=-1)[:, 0]
@@ -70,7 +88,8 @@ def _dedupe_row(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return valid & ~dup
 
 
-@partial(jax.jit, static_argnames=("k", "ef", "expand", "max_hops", "metric"))
+@partial(jax.jit, static_argnames=("k", "ef", "expand", "max_hops", "metric",
+                                   "precision"))
 def hnsw_search_batch(
     vectors: jnp.ndarray,     # [N_pad, D]
     v_sq: jnp.ndarray,        # [N_pad]
@@ -84,13 +103,13 @@ def hnsw_search_batch(
     expand: int = 4,
     max_hops: int = 0,        # 0 => auto bound
     metric: Metric = Metric.COSINE,
+    precision: str = "default",
 ):
     """Full hierarchy search. Returns (dists [B, k], rows [B, k]), rows=-1
     for missing. ef is honored exactly (the reference documents ef presets
     but hardcodes ef=max(k,50) — graph.clj:304, SURVEY.md §2.9; we fix that
     per wip/search_config.clj's documented intent)."""
     b = queries.shape[0]
-    n_pad = vectors.shape[0]
     ef = max(ef, k)
     e = min(expand, ef)
     if max_hops <= 0:
@@ -98,28 +117,28 @@ def hnsw_search_batch(
 
     # ---- upper layers: greedy 1-probe descent --------------------------
     cur = jnp.broadcast_to(jnp.asarray(entries, jnp.int32), (b,))
-    d0 = gather_score(queries, jnp.maximum(cur[:, None], 0), vectors, v_sq,
-                      metric=metric, valid=(cur >= 0)[:, None])[:, 0]
+    d0 = _score(queries, jnp.maximum(cur[:, None], 0), vectors, v_sq,
+                metric, (cur >= 0)[:, None], precision)[:, 0]
     num_upper = adj_upper.shape[0]
     for l in range(num_upper - 1, -1, -1):
         cur, d0 = _greedy_descent(queries, cur, d0, adj_upper[l],
-                                  vectors, v_sq, metric)
+                                  vectors, v_sq, metric, precision)
 
     # ---- layer 0: batched beam -----------------------------------------
     m0 = adj0.shape[1]
     c = e * m0
     beam_d = jnp.full((b, ef), BIG).at[:, 0].set(d0)
     beam_ids = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur)
-    expanded = jnp.zeros((b, num_words(n_pad)), jnp.uint32)
+    beam_exp = jnp.zeros((b, ef), bool)
+    slot_iota = jnp.arange(ef, dtype=jnp.int32)
 
     def cond(state):
         _, _, _, active, hop = state
         return jnp.any(active) & (hop < max_hops)
 
     def body(state):
-        beam_d, beam_ids, expanded, active, hop = state
-        exp_already = test_bits(expanded, beam_ids)            # [B, ef]
-        elig = (~exp_already) & (beam_ids >= 0)
+        beam_d, beam_ids, beam_exp, active, hop = state
+        elig = (~beam_exp) & (beam_ids >= 0)
         cd = jnp.where(elig, beam_d, BIG)
         sel_d, sel_pos = top_k_ascending(cd, e)                # [B, E]
         sel_ids = jnp.take_along_axis(beam_ids, sel_pos, axis=-1)
@@ -127,28 +146,66 @@ def hnsw_search_batch(
         # serial-equivalent stop rule: best unexpanded > worst beam member
         worst = beam_d[:, -1]
         active = active & sel_valid[:, 0] & (sel_d[:, 0] <= worst)
-        sel_ids = jnp.where(sel_valid & active[:, None], sel_ids, -1)
-        expanded = set_bits(expanded, sel_ids)
+        do_sel = sel_valid & active[:, None]
+        sel_ids = jnp.where(do_sel, sel_ids, -1)
+        # mark the selected slots expanded (flags travel with the slots)
+        hit = jnp.any((slot_iota[None, None, :] == sel_pos[:, :, None])
+                      & do_sel[:, :, None], axis=1)            # [B, ef]
+        beam_exp = beam_exp | hit
 
         nb = jnp.take(adj0, jnp.maximum(sel_ids, 0), axis=0)   # [B, E, M0]
         nb = jnp.where((sel_ids >= 0)[:, :, None], nb, -1).reshape(b, c)
-        valid = (nb >= 0) & ~test_bits(expanded, nb)
+        valid = nb >= 0
         valid = _dedupe_row(nb, valid)
-        # drop candidates already sitting in the beam
+        # drop candidates already sitting in the beam (covers every node
+        # that is or ever was competitive — evicted nodes cannot return)
         in_beam = jnp.any(nb[:, :, None] == beam_ids[:, None, :], axis=-1)
         valid = valid & ~in_beam
 
-        d_nb = gather_score(queries, jnp.maximum(nb, 0), vectors, v_sq,
-                            metric=metric, valid=valid)        # [B, C]
+        d_nb = _score(queries, jnp.maximum(nb, 0), vectors, v_sq, metric,
+                      valid, precision)                        # [B, C]
         all_d = jnp.concatenate([beam_d, d_nb], axis=-1)
         all_i = jnp.concatenate([beam_ids, jnp.where(valid, nb, -1)], axis=-1)
+        all_e = jnp.concatenate([beam_exp, jnp.zeros((b, c), bool)], axis=-1)
         beam_d, sel = top_k_ascending(all_d, ef)
         beam_ids = jnp.take_along_axis(all_i, sel, axis=-1)
-        return beam_d, beam_ids, expanded, active, hop + 1
+        beam_exp = jnp.take_along_axis(all_e, sel, axis=-1)
+        return beam_d, beam_ids, beam_exp, active, hop + 1
 
-    state = (beam_d, beam_ids, expanded, jnp.ones((b,), bool), jnp.int32(0))
+    state = (beam_d, beam_ids, beam_exp, jnp.ones((b,), bool), jnp.int32(0))
     beam_d, beam_ids, _, _, _ = jax.lax.while_loop(cond, body, state)
 
     out_d = beam_d[:, :k]
     out_i = jnp.where(out_d < BIG, beam_ids[:, :k], -1)
+    if precision != "highest":
+        # exact re-score of the survivors: reported distances are full f32
+        out_d = _score(queries, jnp.maximum(out_i, 0), vectors, v_sq,
+                       metric, out_i >= 0, "highest")
+        out_d, sel = top_k_ascending(out_d, k)
+        out_i = jnp.take_along_axis(out_i, sel, axis=-1)
+        out_i = jnp.where(out_d < BIG, out_i, -1)
     return out_d, out_i
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def sample_entries(
+    vectors: jnp.ndarray,      # [N_pad, D]
+    v_sq: jnp.ndarray,
+    sample_rows: jnp.ndarray,  # int32 [S] candidate entry rows
+    queries: jnp.ndarray,      # [B, D]
+    *,
+    metric: Metric,
+):
+    """Batched entry selection without hierarchy descent: score each query
+    against a fixed row sample in one GEMM and seed the beam at the best.
+    The serial upper-layer walk costs ~2 roundtrips per level per batch; at
+    TPU batch sizes one [B, S] GEMM finds an equally good layer-0 entry
+    (same role as CAGRA-style sampled seeds). Returns (entries [B], d [B])."""
+    sub = jnp.take(vectors, sample_rows, axis=0)           # [S, D]
+    sub_sq = jnp.take(v_sq, sample_rows, axis=0)
+    dots = jnp.dot(queries, sub.T, preferred_element_type=jnp.float32)
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    d = _dist_bc(dots, q_sq, sub_sq[None, :], metric)
+    j = jnp.argmin(d, axis=-1)
+    return jnp.take(sample_rows, j), jnp.take_along_axis(d, j[:, None],
+                                                         axis=-1)[:, 0]
