@@ -29,7 +29,7 @@ class HNSWIndex(ANNIndex):
 
     def __init__(self, corpus: Corpus, graph: HNSWGraph, *,
                  expand: int = 4, entry_mode: str = "sample",
-                 entry_sample: int = 512, precision: str = "default"):
+                 entry_sample: int = 512, precision: str = "auto"):
         super().__init__(corpus)
         self.graph = graph
         self.expand = expand
@@ -37,6 +37,7 @@ class HNSWIndex(ANNIndex):
         self.entry_sample = entry_sample
         self.precision = precision
         self._sample_rows = None
+        self._vec_lp = None
 
     def _entry_rows(self) -> jnp.ndarray:
         if self._sample_rows is None or \
@@ -55,6 +56,11 @@ class HNSWIndex(ANNIndex):
             return (jnp.full((b, k), np.float32(np.inf)),
                     jnp.full((b, k), -1, jnp.int32))
         ef = ef if ef is not None else ef_for(mode, k)
+        # "auto": bf16-class loop scoring is safe for cosine (normalized,
+        # bounded error, exact final re-rank) but the euclidean norm formula
+        # cancels catastrophically at bf16 — keep full f32 there
+        precision = self.precision if self.precision != "auto" else (
+            "default" if self.corpus.metric == Metric.COSINE else "highest")
         if self.entry_mode == "sample":
             # one GEMM against a row sample replaces the serial upper-layer
             # descent (see sample_entries); the hierarchy stays available
@@ -66,11 +72,15 @@ class HNSWIndex(ANNIndex):
         else:
             entries = jnp.full((q.shape[0],), self.graph.entry, jnp.int32)
             upper = self.graph.adj_upper
+        if self._vec_lp is None or \
+                self._vec_lp.shape != self.corpus.vectors.shape:
+            self._vec_lp = self.corpus.vectors.astype(jnp.bfloat16)
         d, r = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
             self.graph.adj0, upper, entries, q,
             k=k, ef=ef, expand=self.expand,
-            metric=self.corpus.metric, precision=self.precision,
+            metric=self.corpus.metric, precision=precision,
+            vectors_lp=self._vec_lp,
         )
         return d, r
 

@@ -37,10 +37,12 @@ from hnsw_tpu.types import Metric
 
 
 def _score(queries, rows, vectors, v_sq, metric, valid, precision):
-    """gather+dot candidate scoring at selectable MXU precision."""
+    """gather+dot candidate scoring at selectable MXU precision. When the
+    vectors array is bf16 (the in-loop shadow copy), the gather moves half
+    the HBM bytes — the hop loop's dominant cost."""
     cand = jnp.take(vectors, rows, axis=0)                 # [B, C, D]
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
-    dots = jnp.einsum("bd,bcd->bc", queries, cand,
+    dots = jnp.einsum("bd,bcd->bc", queries.astype(cand.dtype), cand,
                       preferred_element_type=jnp.float32, precision=prec)
     q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     c_sq = jnp.take(v_sq, rows, axis=0)
@@ -104,6 +106,7 @@ def hnsw_search_batch(
     max_hops: int = 0,        # 0 => auto bound
     metric: Metric = Metric.COSINE,
     precision: str = "default",
+    vectors_lp: jnp.ndarray | None = None,  # bf16 shadow for in-loop scoring
 ):
     """Full hierarchy search. Returns (dists [B, k], rows [B, k]), rows=-1
     for missing. ef is honored exactly (the reference documents ef presets
@@ -113,16 +116,20 @@ def hnsw_search_batch(
     ef = max(ef, k)
     e = min(expand, ef)
     if max_hops <= 0:
-        max_hops = ef // e + 24
+        # a serial search expands ~ef candidates; with e per hop that is
+        # ef/e hops plus slack for stragglers
+        max_hops = ef // e + 12
+    loop_vecs = vectors_lp if (vectors_lp is not None
+                               and precision != "highest") else vectors
 
     # ---- upper layers: greedy 1-probe descent --------------------------
     cur = jnp.broadcast_to(jnp.asarray(entries, jnp.int32), (b,))
-    d0 = _score(queries, jnp.maximum(cur[:, None], 0), vectors, v_sq,
+    d0 = _score(queries, jnp.maximum(cur[:, None], 0), loop_vecs, v_sq,
                 metric, (cur >= 0)[:, None], precision)[:, 0]
     num_upper = adj_upper.shape[0]
     for l in range(num_upper - 1, -1, -1):
         cur, d0 = _greedy_descent(queries, cur, d0, adj_upper[l],
-                                  vectors, v_sq, metric, precision)
+                                  loop_vecs, v_sq, metric, precision)
 
     # ---- layer 0: batched beam -----------------------------------------
     m0 = adj0.shape[1]
@@ -162,7 +169,7 @@ def hnsw_search_batch(
         in_beam = jnp.any(nb[:, :, None] == beam_ids[:, None, :], axis=-1)
         valid = valid & ~in_beam
 
-        d_nb = _score(queries, jnp.maximum(nb, 0), vectors, v_sq, metric,
+        d_nb = _score(queries, jnp.maximum(nb, 0), loop_vecs, v_sq, metric,
                       valid, precision)                        # [B, C]
         all_d = jnp.concatenate([beam_d, d_nb], axis=-1)
         all_i = jnp.concatenate([beam_ids, jnp.where(valid, nb, -1)], axis=-1)
