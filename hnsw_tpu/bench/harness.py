@@ -195,3 +195,44 @@ def _sync(idx):
         c = getattr(idx, attr, None)
         if c is not None and hasattr(c, "vectors"):
             _block(c.vectors)
+
+
+def warmup(index, dim: Optional[int] = None, rounds: int = 2):
+    """Compile-and-cache warmup — the analogue of warmup-jvm
+    (ultra_fast.clj:391-402): run representative searches so later calls hit
+    compiled code."""
+    import numpy as np
+
+    d = dim or index.corpus.dim
+    q = np.zeros((1, d), np.float32)
+    qb = np.zeros((min(256, max(index.corpus.n, 1)), d), np.float32)
+    for _ in range(rounds):
+        index.search_batch(q, min(10, max(index.corpus.n, 1)))
+        index.search_batch(qb, min(10, max(index.corpus.n, 1)))
+    return index
+
+
+def build_with_timeout(build_fn, timeout_s: float, fallback_fn=None):
+    """Run a build with a wall-clock budget; on timeout, build the fallback
+    instead — the reference's timeout-with-fallback-to-Lightning demo
+    (bench.clj:573-594). Returns (index, used_fallback)."""
+    import threading
+
+    result = {}
+
+    def run():
+        try:
+            result["idx"] = build_fn()
+        except Exception as e:  # surfaced to caller below
+            result["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "err" in result:
+        if fallback_fn is None:
+            if "err" in result:
+                raise result["err"]
+            raise TimeoutError(f"build exceeded {timeout_s}s and no fallback")
+        return fallback_fn(), True
+    return result["idx"], False

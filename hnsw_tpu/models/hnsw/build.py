@@ -46,6 +46,12 @@ from hnsw_tpu.types import Corpus, Metric
 BUILD_TILE = 1024
 
 
+class BuildInterrupted(Exception):
+    """Raised when a should_continue callback returns False mid-build — the
+    analogue of the reference's interruptible build (an atom checked every
+    100 inserts throwing InterruptedException; bench.clj:138-184)."""
+
+
 # ---------------------------------------------------------------------------
 # neighbor-selection heuristic (graph.clj:163-201), vectorized
 # ---------------------------------------------------------------------------
@@ -391,10 +397,18 @@ def build_graph(
     seed: int = 42,
     k_cand: Optional[int] = None,
     metric: Optional[Metric] = None,
+    progress=None,          # callable(stage: str, fraction: float)
+    should_continue=None,   # callable() -> bool; False aborts (BuildInterrupted)
 ) -> HNSWGraph:
     """Build the full hierarchy. k_cand is the exact-kNN candidate pool fed
     to the heuristic (the analogue of ef-construction's candidate set,
     graph.clj:70)."""
+
+    def _tick(stage, frac):
+        if should_continue is not None and not should_continue():
+            raise BuildInterrupted(f"build interrupted at {stage}")
+        if progress is not None:
+            progress(stage, frac)
     n = corpus.n
     n_pad = corpus.n_pad
     m0 = m0 or 2 * m
@@ -410,10 +424,12 @@ def build_graph(
     levels[:n] = levels_np
 
     adj0 = np.full((n_pad, m0), NONE, np.int32)
+    _tick("layer0", 0.0)
     if n > 1:
         adj0[:n] = build_layer(corpus.vectors, corpus.sq_norms,
                                np.arange(n, dtype=np.int32),
                                cap=m0, k_cand=k_cand, metric=metric)
+    _tick("layer0", 1.0)
 
     adj_upper = np.full((max_level, n_pad, m), NONE, np.int32)
     # small upper layers build on host; fetch their union of member vectors
@@ -421,6 +437,7 @@ def build_graph(
     host_x = None
     host_pos = None
     for l in range(1, max_level + 1):
+        _tick(f"layer{l}", l / max(max_level, 1))
         members = np.nonzero(levels_np >= l)[0].astype(np.int32)
         if len(members) <= 1:
             continue
