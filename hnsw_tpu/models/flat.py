@@ -98,7 +98,9 @@ def exact_topk(
 
 
 class FlatIndex(ANNIndex):
-    """Exact brute-force index (recall = 1.0 by construction)."""
+    """Exact brute-force index (recall = 1.0 by construction with the
+    default f32 precision; precision="bf16" trades ~1e-3 distance error for
+    the fused Pallas scan path on TPU)."""
 
     family = "flat"
 
@@ -107,9 +109,39 @@ class FlatIndex(ANNIndex):
         super().__init__(corpus)
         self.precision = precision
         self.tile = tile
+        self._pallas_arrays = None
+
+    def _pallas_ready(self, k: int) -> bool:
+        from hnsw_tpu.ops import pallas_scan
+        return (self.precision == "bf16" and pallas_scan.supported(k)
+                and jax.default_backend() == "tpu" and self.corpus.n > 0)
+
+    def _get_pallas_arrays(self):
+        from hnsw_tpu.ops.pallas_scan import DEFAULT_NT
+        if self._pallas_arrays is None:
+            n_pad = ((self.corpus.n_pad + DEFAULT_NT - 1)
+                     // DEFAULT_NT) * DEFAULT_NT
+            vec = jnp.zeros((n_pad, self.corpus.d_pad), jnp.bfloat16)
+            vec = vec.at[: self.corpus.n_pad].set(
+                self.corpus.vectors.astype(jnp.bfloat16))
+            vsq = jnp.zeros((n_pad,), jnp.float32)
+            vsq = vsq.at[: self.corpus.n_pad].set(self.corpus.sq_norms)
+            self._pallas_arrays = (vec, vsq)
+        return self._pallas_arrays
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED):
         q = self.corpus.pad_queries(queries)
+        if self._pallas_ready(k):
+            from hnsw_tpu.ops.pallas_scan import DEFAULT_BT, pallas_exact_topk
+            vec, vsq = self._get_pallas_arrays()
+            b = q.shape[0]
+            bt = min(DEFAULT_BT, max(((b + 7) // 8) * 8, 8))
+            b_pad = ((b + bt - 1) // bt) * bt
+            qp = jnp.zeros((b_pad, q.shape[1]), jnp.bfloat16)
+            qp = qp.at[:b].set(q.astype(jnp.bfloat16))
+            d, r = pallas_exact_topk(vec, vsq, qp, self.corpus.n,
+                                     k=k, metric=self.corpus.metric, bt=bt)
+            return d[:b], r[:b]
         return exact_topk(
             self.corpus.vectors, self.corpus.sq_norms, q,
             k=k, n=self.corpus.n, metric=self.corpus.metric,

@@ -1,0 +1,164 @@
+"""Pallas fused exact-scan kernel: distance + streaming top-k.
+
+The XLA flat path materializes the [B, N] score matrix in HBM and then runs
+a top-k pass over it — at 31k x 768 and B=1024 that is ~260 MB of HBM
+traffic beyond the corpus read itself. This kernel fuses the reference's
+entire hot path (SIMD distance loop + bounded nearest-heap,
+simd_optimized.clj:200-216 / ultra_fast.clj:151-212) into MXU tiles: each
+grid step loads one corpus tile into VMEM, computes the distance tile on the
+MXU, extracts the tile's top-k with k masked min/argmin sweeps on the VPU,
+and merges into a running per-query top-k that lives in VMEM across the
+corpus-tile grid dimension. Scores never touch HBM.
+
+Grid: (B_tiles, N_tiles), N innermost; the output block index map is
+constant over the N dimension, so Mosaic keeps the running top-k resident
+in VMEM and only spills it once per query tile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hnsw_tpu.types import Metric, round_up
+
+# plain python float: jnp scalars would be captured as traced constants
+# inside the pallas kernel
+BIG = 1e30
+
+# tile sizes: V tile bf16 (1024x768->1.5MB) + Q tile (512x768) + score tile
+# (512x1024 f32 = 2MB) fit VMEM with double buffering
+DEFAULT_BT = 512
+DEFAULT_NT = 1024
+# lane-aligned top-k slot width
+KPAD = 128
+
+
+INT_BIG = 2 ** 30
+
+
+def _tile_topk(dist: jnp.ndarray, rows: jnp.ndarray, k: int):
+    """k masked min sweeps over [BT, NT]. Gather-free: row ids are unique
+    within a tile, so the winner is selected and masked by row id (Mosaic
+    has no general gather). Returns ([BT, k], [BT, k])."""
+    ds, rs = [], []
+    for _ in range(k):
+        m = jnp.min(dist, axis=1, keepdims=True)            # [BT, 1]
+        is_min = dist == m
+        r = jnp.min(jnp.where(is_min, rows, INT_BIG), axis=1, keepdims=True)
+        ds.append(m)
+        rs.append(jnp.where(r == INT_BIG, -1, r))
+        dist = jnp.where(rows == r, BIG, dist)
+    return jnp.concatenate(ds, axis=1), jnp.concatenate(rs, axis=1)
+
+
+def _make_kernel(k: int, nt: int, metric: Metric, n_tiles: int):
+    def kernel(n_ref, q_ref, v_ref, vsq_ref, outd_ref, outi_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            outd_ref[:] = jnp.full(outd_ref.shape, BIG, jnp.float32)
+            outi_ref[:] = jnp.full(outi_ref.shape, -1, jnp.int32)
+
+        q = q_ref[:]                                       # [BT, D]
+        v = v_ref[:]                                       # [NT, D]
+        dots = jnp.dot(q, v.T, preferred_element_type=jnp.float32)
+        q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        v_sq = vsq_ref[:].reshape(1, nt)
+        if metric == Metric.COSINE:
+            denom = jnp.sqrt(jnp.maximum(q_sq * v_sq, 1e-12))
+            dist = 1.0 - dots / denom
+        elif metric == Metric.EUCLIDEAN:
+            dist = jnp.sqrt(jnp.maximum(q_sq + v_sq - 2.0 * dots, 0.0))
+        else:
+            dist = -dots
+        base = ti * nt
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        dist = jnp.where(rows < n_ref[0], dist, BIG)
+
+        tile_d, tile_r = _tile_topk(dist, rows, k)         # [BT, k]
+
+        # merge with the running top-k (slots 0..k-1 of the padded out block)
+        run_d = outd_ref[:, :k]
+        run_r = outi_ref[:, :k]
+        cand_d = jnp.concatenate([run_d, tile_d], axis=1)  # [BT, 2k]
+        cand_r = jnp.concatenate([run_r, tile_r], axis=1)
+        mer_d, mer_r = _merge_sorted(cand_d, cand_r, k)
+        outd_ref[:, :k] = mer_d
+        outi_ref[:, :k] = jnp.where(mer_d < BIG, mer_r, -1)
+
+    return kernel
+
+
+def _merge_sorted(cand_d: jnp.ndarray, cand_r: jnp.ndarray, k: int):
+    """Ascending k smallest of [BT, 2k] pairs via k min sweeps; gather-free
+    selection by (unique) row id. Invalid slots carry row -1 and dist BIG,
+    which can never win against any valid candidate."""
+    ds, rs = [], []
+    rows = jnp.where(cand_r >= 0, cand_r, INT_BIG)
+    for _ in range(k):
+        m = jnp.min(cand_d, axis=1, keepdims=True)
+        is_min = cand_d == m
+        r = jnp.min(jnp.where(is_min, rows, INT_BIG), axis=1, keepdims=True)
+        ds.append(m)
+        rs.append(jnp.where(r == INT_BIG, -1, r))
+        kill = (rows == r) & is_min
+        cand_d = jnp.where(kill, BIG, cand_d)
+        rows = jnp.where(kill, INT_BIG, rows)
+    return jnp.concatenate(ds, axis=1), jnp.concatenate(rs, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "bt", "nt", "interpret"))
+def pallas_exact_topk(
+    vectors: jnp.ndarray,   # [N_pad, D] (bf16 or f32; N_pad % nt == 0)
+    v_sq: jnp.ndarray,      # [N_pad] f32
+    queries: jnp.ndarray,   # [B, D] (same dtype as vectors; B % bt == 0)
+    n,                      # valid row count (traced)
+    *,
+    k: int,
+    metric: Metric,
+    bt: int = DEFAULT_BT,
+    nt: int = DEFAULT_NT,
+    interpret: bool = False,
+):
+    """Fused scan. Returns (dists f32[B, k], rows int32[B, k])."""
+    n_pad, d = vectors.shape
+    b = queries.shape[0]
+    assert n_pad % nt == 0 and b % bt == 0, (n_pad, nt, b, bt)
+    n_tiles = n_pad // nt
+    b_tiles = b // bt
+    n_arr = jnp.full((1,), n, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_tiles, n_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((nt, d), lambda bi, ti, n_ref: (ti, 0)),
+            pl.BlockSpec((nt,), lambda bi, ti, n_ref: (ti,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, KPAD), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((bt, KPAD), lambda bi, ti, n_ref: (bi, 0)),
+        ],
+    )
+    outd, outi = pl.pallas_call(
+        _make_kernel(k, nt, metric, n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_arr, queries, vectors, v_sq)
+    return outd[:, :k], outi[:, :k]
+
+
+def supported(k: int) -> bool:
+    """The unrolled min-sweep selection is economical only for small k."""
+    return 1 <= k <= 32

@@ -1,0 +1,56 @@
+"""Pallas fused-scan kernel tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import brute_force_knn, make_unit, recall_at_k
+from hnsw_tpu.ops.pallas_scan import pallas_exact_topk
+from hnsw_tpu.types import Corpus, Metric
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
+def test_matches_bruteforce(metric):
+    data = make_unit(1000, 64, seed=71)
+    c = Corpus.from_array(data, metric=metric)
+    n_pad = 1024
+    vec = jnp.zeros((n_pad, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vsq = jnp.zeros((n_pad,)).at[: c.n_pad].set(c.sq_norms)
+    q = c.pad_queries(data[:128])
+    d, r = pallas_exact_topk(vec, vsq, q, c.n, k=10,
+                             metric=Metric(metric), bt=128, nt=256,
+                             interpret=True)
+    _, exact = brute_force_knn(data, data[:128], 10, metric)
+    rec = recall_at_k(np.asarray(r), exact)
+    assert rec >= 0.99, rec
+    # ascending, valid rows
+    d = np.asarray(d)
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+    assert (np.asarray(r) < 1000).all() and (np.asarray(r) >= 0).all()
+
+
+def test_padding_rows_never_returned():
+    data = make_unit(100, 32, seed=72)
+    c = Corpus.from_array(data)
+    n_pad = 256
+    vec = jnp.zeros((n_pad, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vsq = jnp.zeros((n_pad,)).at[: c.n_pad].set(c.sq_norms)
+    q = c.pad_queries(data[:128]) if False else jnp.tile(
+        c.pad_queries(data[:4]), (32, 1))
+    d, r = pallas_exact_topk(vec, vsq, q, c.n, k=5, metric=Metric.COSINE,
+                             bt=128, nt=128, interpret=True)
+    r = np.asarray(r)
+    assert (r < 100).all() and (r >= 0).all()
+
+
+def test_k_greater_than_valid_rows():
+    data = make_unit(6, 16, seed=73)
+    c = Corpus.from_array(data)
+    vec = jnp.zeros((128, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vsq = jnp.zeros((128,)).at[: c.n_pad].set(c.sq_norms)
+    q = jnp.tile(c.pad_queries(data[:1]), (128, 1))
+    d, r = pallas_exact_topk(vec, vsq, q, c.n, k=10, metric=Metric.COSINE,
+                             bt=128, nt=128, interpret=True)
+    r = np.asarray(r)
+    assert (r[0, :6] >= 0).all()
+    assert (r[0, 6:] == -1).all()
