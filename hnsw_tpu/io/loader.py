@@ -31,8 +31,15 @@ def load_json_corpus(path: str):
     [[id, np.float32 array], ...], texts maps id -> display text (empty when
     the corpus has none), metadata is the file's metadata map.
     """
-    with open(path) as f:
-        payload = json.load(f)
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+    except MemoryError:
+        # data_loader.clj:38-41 catches OOM and prints heap-size guidance
+        raise MemoryError(
+            f"out of memory loading {path}; load a smaller corpus from the "
+            "fallback chain (get_best_available_data) or convert the JSON "
+            "to .npz once and memory-map it") from None
     items = payload.get("verses") or payload.get("vectors") or []
     pairs: List[list] = []
     texts: Dict[str, str] = {}

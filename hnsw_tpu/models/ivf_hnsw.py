@@ -48,11 +48,15 @@ class IVFHNSWIndex(ANNIndex):
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      num_probes: Optional[int] = None,
-                     ef: Optional[int] = None):
+                     ef: Optional[int] = None,
+                     search_percent: Optional[float] = None):
         q = self.corpus.pad_queries(queries)
         b = q.shape[0]
         mode = Mode.coerce(mode)
         probes_m, ef_m = IVF_HNSW_MODES[mode]
+        if search_percent is not None and num_probes is None:
+            # legacy float search-percent -> probe count (ivf_hnsw.clj:349-353)
+            num_probes = max(1, round(search_percent * self.num_partitions))
         p = min(num_probes or probes_m, self.num_partitions)
         ef = max(ef or ef_m, k)
 
