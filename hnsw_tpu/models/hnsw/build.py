@@ -522,12 +522,21 @@ def insert_wave(
             au[: adj_upper.shape[0], : adj_upper.shape[1]] = adj_upper
         adj_upper = au
 
-    q = jnp.take(vectors, jnp.asarray(new_rows), axis=0)        # [W, D]
+    # pad the wave to a power-of-two bucket so repeated adds of varying
+    # sizes reuse compiled kernels (pad rows carry id -1 / level -1 and are
+    # excluded from every write by the at_level mask)
+    wp = _pow2_at_least(max(w, 1), 8)
+    rows_pad = np.full(wp, NONE, np.int32)
+    rows_pad[:w] = new_rows
+    levels_pad = np.full(wp, NONE, np.int32)
+    levels_pad[:w] = new_levels
+
+    q = jnp.take(vectors, jnp.asarray(np.maximum(rows_pad, 0)), axis=0)
     ef_c = graph.ef_construction
 
     # candidate pool per level via batched search on the current graph
     for l in range(new_max, -1, -1):
-        at_level = new_levels >= l
+        at_level = levels_pad >= l
         if not at_level.any():
             continue
         cap = graph.m0 if l == 0 else graph.m
@@ -541,34 +550,40 @@ def insert_wave(
                 jnp.zeros((0, n_pad, graph.m), jnp.int32)
             d_c, i_c = hnsw_search_batch(
                 vectors, v_sq, adj_l, upper,
-                jnp.full((q.shape[0],), graph.entry, jnp.int32), q,
+                jnp.full((wp,), graph.entry, jnp.int32), q,
                 k=ef_c, ef=ef_c, metric=metric)
             cands.append(np.asarray(i_c))
         # intra-wave candidates at this level
         wave_members = np.nonzero(at_level)[0]
         if len(wave_members) > 1:
-            wrows = new_rows[wave_members]
-            sub = jnp.take(vectors, jnp.asarray(wrows), axis=0)
-            sub_sq = jnp.take(v_sq, jnp.asarray(wrows), axis=0)
-            kq = min(cap + 1, len(wrows))
+            wrows = rows_pad[wave_members]
+            wq = _pow2_at_least(len(wrows), 8)
+            wrows_pad = np.zeros(wq, np.int32)
+            wrows_pad[: len(wrows)] = wrows
+            sub = jnp.take(vectors, jnp.asarray(wrows_pad), axis=0)
+            mask = (jnp.arange(wq) < len(wrows))[:, None]
+            sub = jnp.where(mask, sub, 0.0)
+            sub_sq = jnp.sum(sub * sub, axis=-1)
+            kq = min(cap + 1, wq)
             _, loc = exact_topk(sub, sub_sq, q, k=kq, n=len(wrows),
                                 metric=metric)
-            cands.append(np.where(np.asarray(loc) >= 0,
-                                  wrows[np.maximum(np.asarray(loc), 0)], NONE))
+            loc = np.asarray(loc)
+            cands.append(np.where(loc >= 0,
+                                  wrows_pad[np.maximum(loc, 0)], NONE))
         if not cands:
             continue
         cand = np.concatenate(cands, axis=1)
         sel = select_from_candidates(
-            q, jnp.asarray(cand), vectors, v_sq, jnp.asarray(new_rows),
+            q, jnp.asarray(cand), vectors, v_sq, jnp.asarray(rows_pad),
             cap=cap, metric=metric)
         sel = np.asarray(sel)
         target = adj0 if l == 0 else adj_upper[l - 1]
-        target[new_rows[at_level]] = sel[at_level]
+        target[rows_pad[at_level]] = sel[at_level]
 
         # reverse repair: every selected neighbor gains the new node as a
         # candidate; re-prune affected nodes at cap
         pairs_dst = sel[at_level].reshape(-1)
-        pairs_src = np.repeat(new_rows[at_level], cap)
+        pairs_src = np.repeat(rows_pad[at_level], cap)
         keep = pairs_dst >= 0
         pairs_dst, pairs_src = pairs_dst[keep], pairs_src[keep]
         if len(pairs_dst):
@@ -579,16 +594,22 @@ def insert_wave(
             pos = np.arange(len(ds)) - first
             keep2 = pos < extra_cap
             affected = np.unique(ds)
-            extra = np.full((len(affected), extra_cap), NONE, np.int32)
+            na = len(affected)
+            ap = _pow2_at_least(na, 8)
+            aff_pad = np.full(ap, NONE, np.int32)
+            aff_pad[:na] = affected
+            extra = np.full((ap, extra_cap), NONE, np.int32)
             rowi = np.searchsorted(affected, ds[keep2])
             extra[rowi, pos[keep2]] = ss[keep2]
-            cur = target[affected]
+            cur = np.full((ap, cap), NONE, np.int32)
+            cur[:na] = target[affected]
             cand2 = np.concatenate([cur, extra], axis=1)
-            node_vecs = jnp.take(vectors, jnp.asarray(affected), axis=0)
+            node_vecs = jnp.take(vectors,
+                                 jnp.asarray(np.maximum(aff_pad, 0)), axis=0)
             sel2 = select_from_candidates(
                 node_vecs, jnp.asarray(cand2), vectors, v_sq,
-                jnp.asarray(affected), cap=cap, metric=metric)
-            target[affected] = np.asarray(sel2)
+                jnp.asarray(aff_pad), cap=cap, metric=metric)
+            target[affected] = np.asarray(sel2)[:na]
 
     # entry point update (reference keeps highest-level node as entry,
     # ultra_fast.clj:271-273)
