@@ -104,27 +104,38 @@ def run_search_benchmark(
     try:
         import jax
 
-        inner = max(iters, 8)
-        stacked = jnp.broadcast_to(batch, (inner,) + batch.shape)
-        # perturb each batch slightly so no cross-iteration CSE applies
-        eps = jnp.arange(inner, dtype=jnp.float32)[:, None, None] * 1e-6
-        stacked = stacked + eps
+        def make_scanned(inner):
+            stacked = jnp.broadcast_to(batch, (inner,) + batch.shape)
+            # perturb each batch so no cross-iteration reuse applies; the
+            # perturbation must survive a bf16 cast (fast paths downcast)
+            eps = (jnp.arange(inner, dtype=jnp.float32)[:, None, None]
+                   * 1e-2 / max(inner, 1))
+            stacked = stacked * (1.0 + eps)
 
-        @jax.jit
-        def scanned(qb):
-            def body(carry, q):
-                d, r = search(q, k, mode)
-                return carry + d[0, 0], (d[:, -1:], r[:, -1:])
-            acc, outs = jax.lax.scan(body, jnp.float32(0), qb)
-            return acc, outs
+            @jax.jit
+            def scanned(qb):
+                def body(carry, q):
+                    d, r = search(q, k, mode)
+                    return carry + d[0, 0] + jnp.float32(r[0, 0]), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), qb)
+                return acc
+            return scanned, stacked
 
-        acc, _ = scanned(stacked)
-        acc.block_until_ready()
-        t0 = time.perf_counter()
-        acc, _ = scanned(stacked)
-        acc.block_until_ready()
-        dt_dev = (time.perf_counter() - t0) / inner
-        qps_device = b / dt_dev
+        def run_timed(inner):
+            scanned, stacked = make_scanned(inner)
+            float(scanned(stacked))           # warm + verify
+            t0 = time.perf_counter()
+            v = float(scanned(stacked))       # full value fetch: true sync
+            return time.perf_counter() - t0
+
+        lo, hi = 4, max(4 * iters, 24)
+        t_lo = run_timed(lo)
+        t_hi = run_timed(hi)
+        # slope removes fixed dispatch/roundtrip overhead
+        per_batch = (t_hi - t_lo) / (hi - lo)
+        if per_batch <= 0:
+            per_batch = t_hi / hi
+        qps_device = b / per_batch
     except Exception:
         pass
 
