@@ -30,7 +30,21 @@ def load_json_corpus(path: str):
     Returns (pairs, texts, metadata) where pairs is the reference-native
     [[id, np.float32 array], ...], texts maps id -> display text (empty when
     the corpus has none), metadata is the file's metadata map.
+
+    Large files go through the native C++ parser (native/fast_corpus.cpp)
+    when available; any mismatch falls back to the Python json module.
     """
+    try:
+        if os.path.getsize(path) > 4 * 1024 * 1024:
+            from hnsw_tpu.io.native import parse_corpus
+            parsed = parse_corpus(path)
+            if parsed is not None:
+                emb, ids, txts = parsed
+                pairs = [[ids[i], emb[i]] for i in range(len(ids))]
+                texts = {ids[i]: txts[i] for i in range(len(ids)) if txts[i]}
+                return pairs, texts, {}
+    except (OSError, MemoryError):
+        pass
     try:
         with open(path) as f:
             payload = json.load(f)
