@@ -195,8 +195,12 @@ def run_recall_benchmark(
 
 
 def _block(x):
+    """Synchronize on a device array. Fetches one value: on relay-tunneled
+    backends block_until_ready can return before execution completes, so a
+    value round-trip is the only reliable barrier."""
     try:
         x.block_until_ready()
+        np.asarray(x).ravel()[:1]
     except AttributeError:
         pass
 
