@@ -95,12 +95,17 @@ def heuristic_select(cand_ids, cand_d, pair_d, *, cap: int,
                            keep_pruned=keep_pruned)
 
 
-def _pairwise_among_impl(vecs, sq, metric: Metric):
+def _pairwise_among_impl(vecs, sq, metric: Metric, precision="highest"):
     """Distances among gathered candidates. vecs: [T, K, D], sq: [T, K].
     Returns [T, K, K]."""
-    dots = jnp.einsum("tkd,tld->tkl", vecs, vecs,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    if precision == "bf16":
+        dots = jnp.einsum("tkd,tld->tkl", vecs.astype(jnp.bfloat16),
+                          vecs.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    else:
+        dots = jnp.einsum("tkd,tld->tkl", vecs, vecs,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     if metric == Metric.COSINE:
         denom = jnp.sqrt(jnp.maximum(sq[:, :, None] * sq[:, None, :], 1e-12))
         return 1.0 - dots / denom
@@ -247,6 +252,7 @@ def build_layer(
     k_cand: int,
     metric: Metric,
     tile: int = BUILD_TILE,
+    precision: str = "highest",
 ) -> np.ndarray:
     """Build one layer's adjacency over member_rows. Returns [ns, cap] of
     GLOBAL row ids (-1 padded).
@@ -279,7 +285,8 @@ def build_layer(
     kq = min(k_cand + 1, ns)  # +1: self will be dropped
 
     out_local = np.asarray(_layer_fused(sub, ns, cap=cap, kq=kq,
-                                        metric=metric, tile=min(tile, ns_pad)))
+                                        metric=metric, tile=min(tile, ns_pad),
+                                        precision=precision))
     out_local = out_local[:ns]
     out = np.where(out_local >= 0,
                    member_rows[np.maximum(out_local, 0)], NONE).astype(np.int32)
@@ -287,7 +294,7 @@ def build_layer(
 
 
 def _select_impl(node_vecs, cand_ids, vectors, v_sq, self_ids, *, cap,
-                 metric, keep_pruned=True):
+                 metric, keep_pruned=True, precision="highest"):
     """Traceable core of select_from_candidates (shared by the jitted
     wrapper and the fused layer builder)."""
     t, c = cand_ids.shape
@@ -304,7 +311,7 @@ def _select_impl(node_vecs, cand_ids, vectors, v_sq, self_ids, *, cap,
                            jnp.take_along_axis(cand_ids, pos, axis=-1), -1)
     gat = jnp.take(vectors, jnp.maximum(ids_sorted, 0), axis=0)
     gsq = jnp.take(v_sq, jnp.maximum(ids_sorted, 0), axis=0)
-    pair_d = _pairwise_among_impl(gat, gsq, metric)
+    pair_d = _pairwise_among_impl(gat, gsq, metric, precision)
     return _heuristic_impl(ids_sorted, d_sorted, pair_d, cap=cap,
                            keep_pruned=keep_pruned)
 
@@ -332,20 +339,31 @@ def _reverse_device(fwd: jnp.ndarray, rev_cap: int) -> jnp.ndarray:
     return rev[:ns_pad, :rev_cap]
 
 
-@partial(jax.jit, static_argnames=("cap", "kq", "metric", "tile"))
+@partial(jax.jit, static_argnames=("cap", "kq", "metric", "tile",
+                                   "precision"))
 def _layer_fused(sub: jnp.ndarray, n, *, cap: int, kq: int, metric: Metric,
-                 tile: int):
+                 tile: int, precision: str = "highest"):
     """One-dispatch layer build: forward pass (tile scan: exact scores ->
-    top-kq -> heuristic), device reverse edges, re-prune pass."""
+    top-kq -> heuristic), device reverse edges, re-prune pass.
+
+    precision="bf16" scores candidates with single-pass bf16 MXU GEMMs —
+    6x cheaper than the 6-pass f32 path; candidate sets are rank-robust to
+    the ~1e-3 error and the search-time re-rank is exact, so graph quality
+    is essentially unchanged (the auto policy uses it above 50k rows)."""
     ns_pad, d = sub.shape
     n = jnp.asarray(n, jnp.int32)
     sub_sq = jnp.sum(sub * sub, axis=-1)
     num_tiles = ns_pad // tile
     row_valid = jax.lax.broadcasted_iota(jnp.int32, (1, ns_pad), 1) < n
+    sub_lp = sub.astype(jnp.bfloat16) if precision == "bf16" else sub
 
     def score_tile(q):
-        dots = jnp.dot(q, sub.T, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        if precision == "bf16":
+            dots = jnp.dot(q.astype(jnp.bfloat16), sub_lp.T,
+                           preferred_element_type=jnp.float32)
+        else:
+            dots = jnp.dot(q, sub.T, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
         dist = distances_from_dots(dots, q_sq, sub_sq, metric)
         return jnp.where(row_valid, dist, BIG)
@@ -357,7 +375,7 @@ def _layer_fused(sub: jnp.ndarray, n, *, cap: int, kq: int, metric: Metric,
         _, cand = top_k_ascending(dist, kq)
         selfi = start + jnp.arange(tile, dtype=jnp.int32)
         sel = _select_impl(q, cand, sub, sub_sq, selfi, cap=cap,
-                           metric=metric)
+                           metric=metric, precision=precision)
         # padding query rows must not emit edges (they would leak back in
         # as reverse-edge sources)
         sel = jnp.where((selfi < n)[:, None], sel, -1)
@@ -376,7 +394,7 @@ def _layer_fused(sub: jnp.ndarray, n, *, cap: int, kq: int, metric: Metric,
         ], axis=1)
         selfi = start + jnp.arange(tile, dtype=jnp.int32)
         sel = _select_impl(q, cand, sub, sub_sq, selfi, cap=cap,
-                           metric=metric)
+                           metric=metric, precision=precision)
         return 0, sel
 
     _, out = jax.lax.scan(pass2, 0, jnp.arange(num_tiles, dtype=jnp.int32))
@@ -399,6 +417,7 @@ def build_graph(
     metric: Optional[Metric] = None,
     progress=None,          # callable(stage: str, fraction: float)
     should_continue=None,   # callable() -> bool; False aborts (BuildInterrupted)
+    build_precision: str = "auto",  # "auto" | "highest" | "bf16"
 ) -> HNSWGraph:
     """Build the full hierarchy. k_cand is the exact-kNN candidate pool fed
     to the heuristic (the analogue of ef-construction's candidate set,
@@ -415,6 +434,10 @@ def build_graph(
     ml = ml if ml is not None else 1.0 / math.log(2.0)
     metric = metric or corpus.metric
     k_cand = k_cand or min(max(2 * m0, 48), 192)
+    if build_precision == "auto":
+        # 6-pass f32 candidate scoring is exact but 6x the MXU work; above
+        # ~50k rows the bf16 single pass wins with negligible quality cost
+        build_precision = "highest" if n <= 50000 else "bf16"
 
     levels_np = assign_levels(n, ml, seed,
                               max_cap=max(int(math.log2(max(n, 2))), 1))
@@ -428,7 +451,8 @@ def build_graph(
     if n > 1:
         adj0[:n] = build_layer(corpus.vectors, corpus.sq_norms,
                                np.arange(n, dtype=np.int32),
-                               cap=m0, k_cand=k_cand, metric=metric)
+                               cap=m0, k_cand=k_cand, metric=metric,
+                               precision=build_precision)
     _tick("layer0", 1.0)
 
     adj_upper = np.full((max_level, n_pad, m), NONE, np.int32)
@@ -444,7 +468,8 @@ def build_graph(
         if len(members) > HOST_LAYER_MAX:
             adj_upper[l - 1, members] = build_layer(
                 corpus.vectors, corpus.sq_norms, members,
-                cap=m, k_cand=min(k_cand, 4 * m), metric=metric)
+                cap=m, k_cand=min(k_cand, 4 * m), metric=metric,
+                precision=build_precision)
             continue
         if host_x is None:
             host_x = np.asarray(
