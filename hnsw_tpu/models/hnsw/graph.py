@@ -17,9 +17,6 @@ Degree caps M0 = 2M at layer 0 and M above mirror graph.clj:214-216.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

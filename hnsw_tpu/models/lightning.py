@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +24,7 @@ from hnsw_tpu.config import Mode, lightning_percent
 from hnsw_tpu.models._partition_scan import (
     PartitionTable, probe_mask_from_centroids, scan_search,
 )
-from hnsw_tpu.models.base import ANNIndex
+
 from hnsw_tpu.models.common import as_corpus
 from hnsw_tpu.models.ivf_flat import IVFFlatIndex
 from hnsw_tpu.ops.kmeans import random_partition, train_kmeans
