@@ -96,3 +96,20 @@ def test_persistence_roundtrip(built):
     _, r1 = idx.search_batch(q, 10)
     _, r2 = idx2.search_batch(q, 10)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_bf16_build_precision_quality():
+    # bf16 candidate scoring (the auto policy above 50k rows) must not
+    # degrade graph quality materially
+    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.hnsw.build import build_graph
+    from hnsw_tpu.types import Corpus
+
+    data = make_unit(1200, 64, seed=91)
+    c = Corpus.from_array(data)
+    g = build_graph(c, m=16, build_precision="bf16")
+    idx = HNSWIndex(c, g)
+    q = data[:32]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    _, rows = idx.search_batch(q, 10, ef=100)
+    assert recall_at_k(np.asarray(rows), exact) >= 0.95
