@@ -137,7 +137,10 @@ def run_search_benchmark(
             per_batch = t_hi / hi
         qps_device = b / per_batch
     except Exception:
-        pass
+        import os
+        if os.environ.get("HNSW_TPU_DEBUG"):
+            import traceback
+            traceback.print_exc()
 
     rep = latency_report(lat)
     if qps_device is not None:
