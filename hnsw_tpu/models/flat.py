@@ -97,10 +97,49 @@ def exact_topk(
     return dk, rk
 
 
+@partial(jax.jit, static_argnames=("k", "fetch", "metric"))
+def int8_topk(
+    v8: jnp.ndarray,        # int8 [N_pad, D]
+    vscale: jnp.ndarray,    # f32 [N_pad] per-row dequant scale
+    vectors: jnp.ndarray,   # f32 [N_pad, D] (for the exact re-rank)
+    v_sq: jnp.ndarray,      # f32 [N_pad]
+    queries: jnp.ndarray,   # f32 [B, D]
+    n,
+    *,
+    k: int,
+    fetch: int,
+    metric: Metric,
+):
+    """Two-phase quantized scan: int8 MXU coarse pass (per-row symmetric
+    quantization) -> exact f32 re-rank of the top `fetch` candidates. The
+    int8 matmul runs at ~2x bf16 MXU throughput and quarters the corpus
+    bytes; the re-rank restores exact distances (AQR-style pipeline)."""
+    from hnsw_tpu.ops.distance import gather_score
+
+    n = jnp.asarray(n, jnp.int32)
+    qmax = jnp.max(jnp.abs(queries), axis=1, keepdims=True)
+    qscale = jnp.maximum(qmax / 127.0, 1e-12)
+    q8 = jnp.clip(jnp.round(queries / qscale), -127, 127).astype(jnp.int8)
+    dots = jnp.dot(q8, v8.T, preferred_element_type=jnp.int32)
+    dots = dots.astype(jnp.float32) * qscale * vscale[None, :]
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    dist = distances_from_dots(dots, q_sq, v_sq, metric)
+    rows = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    dist = jnp.where(rows < n, dist, BIG)
+    _, cand = top_k_ascending(dist, min(fetch, dist.shape[-1]))
+
+    d = gather_score(queries, jnp.maximum(cand, 0), vectors, v_sq,
+                     metric=metric, valid=cand < n)
+    dk, sel = top_k_ascending(d, k)
+    rk = jnp.where(dk < BIG, jnp.take_along_axis(cand, sel, axis=-1), -1)
+    return dk, rk
+
+
 class FlatIndex(ANNIndex):
     """Exact brute-force index (recall = 1.0 by construction with the
-    default f32 precision; precision="bf16" trades ~1e-3 distance error for
-    the fused Pallas scan path on TPU)."""
+    default f32 precision). precision="bf16" takes the fused Pallas scan on
+    TPU (~1e-3 distance error); precision="int8" takes a quantized coarse
+    pass with exact re-rank."""
 
     family = "flat"
 
@@ -110,6 +149,16 @@ class FlatIndex(ANNIndex):
         self.precision = precision
         self.tile = tile
         self._pallas_arrays = None
+        self._int8_arrays = None
+
+    def _get_int8_arrays(self):
+        if self._int8_arrays is None:
+            v = self.corpus.vectors
+            vmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+            vscale = jnp.maximum(vmax / 127.0, 1e-12)
+            v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
+            self._int8_arrays = (v8, vscale[:, 0])
+        return self._int8_arrays
 
     def _pallas_ready(self, k: int) -> bool:
         from hnsw_tpu.ops import pallas_scan
@@ -131,6 +180,12 @@ class FlatIndex(ANNIndex):
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED):
         q = self.corpus.pad_queries(queries)
+        if self.precision == "int8" and self.corpus.n > 0:
+            v8, vscale = self._get_int8_arrays()
+            return int8_topk(v8, vscale, self.corpus.vectors,
+                             self.corpus.sq_norms, q, self.corpus.n,
+                             k=k, fetch=max(4 * k, k + 32),
+                             metric=self.corpus.metric)
         if self._pallas_ready(k):
             from hnsw_tpu.ops.pallas_scan import DEFAULT_BT, pallas_exact_topk
             vec, vsq = self._get_pallas_arrays()

@@ -86,3 +86,22 @@ def test_filtered_search_overfetch():
                                lambda i: int(i.split("_")[1]) % 2 == 0)
     assert len(hits) <= 5
     assert all(int(h["id"].split("_")[1]) % 2 == 0 for h in hits)
+
+
+def test_int8_quantized_path():
+    # int8 coarse pass + exact re-rank: near-exact recall
+    data = make_unit(500, 64, seed=23)
+    from hnsw_tpu.models.flat import FlatIndex
+    from hnsw_tpu.types import Corpus
+    c = Corpus.from_array(data)
+    exact = FlatIndex(c)
+    q8 = FlatIndex(c, precision="int8")
+    q = data[:32]
+    _, re = exact.search_batch(q, 10)
+    _, r8 = q8.search_batch(q, 10)
+    assert recall_at_k(np.asarray(r8), np.asarray(re)) >= 0.97
+    # distances of the int8 path are exact (re-ranked)
+    d8, rr = q8.search_batch(q, 10)
+    de, _ = exact.search_batch(q, 10)
+    np.testing.assert_allclose(np.asarray(d8)[:, 0], np.asarray(de)[:, 0],
+                               atol=1e-4)
