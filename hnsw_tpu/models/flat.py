@@ -42,9 +42,12 @@ def exact_topk(
     metric: Metric,
     tile: int = DEFAULT_TILE,
     precision: str = "f32",
+    row_mask: jnp.ndarray | None = None,   # bool [N_pad]: exact filtering
 ):
     """Exact top-k over the packed corpus. Returns (dists [B,k], rows [B,k]);
-    rows >= n never appear (masked to BIG); if k > n the tail has row -1."""
+    rows >= n never appear (masked to BIG); if k > n the tail has row -1.
+    row_mask (optional) excludes rows exactly — native filtered search,
+    stronger than the reference's over-fetch-and-post-filter default."""
     n = jnp.asarray(n, jnp.int32)
     n_pad, d = vectors.shape
     b = queries.shape[0]
@@ -53,7 +56,7 @@ def exact_topk(
     q = queries.astype(jnp.bfloat16) if precision == "bf16" else queries
     q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
 
-    def score_tile(vt, vt_sq, base):
+    def score_tile(vt, vt_sq, base, mask_t=None):
         vv = vt.astype(jnp.bfloat16) if precision == "bf16" else vt
         prec = None if precision == "bf16" else jax.lax.Precision.HIGHEST
         dots = jnp.dot(q, vv.T, preferred_element_type=jnp.float32,
@@ -61,10 +64,12 @@ def exact_topk(
         dist = distances_from_dots(dots, q_sq, vt_sq, metric)
         rows = base + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
         dist = jnp.where(rows < n, dist, BIG)
+        if mask_t is not None:
+            dist = jnp.where(mask_t[None, :], dist, BIG)
         return dist, rows
 
     if n_pad <= tile:
-        dist, rows = score_tile(vectors, v_sq, jnp.int32(0))
+        dist, rows = score_tile(vectors, v_sq, jnp.int32(0), row_mask)
         dk, sel = top_k_ascending(dist, kk)
         rk = jnp.take_along_axis(rows, sel, axis=-1)
     else:
@@ -73,13 +78,18 @@ def exact_topk(
         if pad_to != n_pad:
             vectors = jnp.pad(vectors, ((0, pad_to - n_pad), (0, 0)))
             v_sq = jnp.pad(v_sq, (0, pad_to - n_pad))
+            if row_mask is not None:
+                row_mask = jnp.pad(row_mask, (0, pad_to - n_pad))
         vt = vectors.reshape(num_tiles, tile, d)
         vt_sq = v_sq.reshape(num_tiles, tile)
+        mask_t = row_mask.reshape(num_tiles, tile) if row_mask is not None \
+            else jnp.ones((num_tiles, tile), bool)
 
         def body(carry, xs):
             best_d, best_r = carry
-            vblk, vblk_sq, base = xs
-            dist, rows = score_tile(vblk, vblk_sq, base)
+            vblk, vblk_sq, base, mblk = xs
+            dist, rows = score_tile(vblk, vblk_sq, base,
+                                    mblk if row_mask is not None else None)
             d_all = jnp.concatenate([best_d, dist], axis=-1)
             r_all = jnp.concatenate([best_r, rows], axis=-1)
             dk, sel = top_k_ascending(d_all, kk)
@@ -87,7 +97,7 @@ def exact_topk(
 
         init = (jnp.full((b, kk), BIG), jnp.full((b, kk), -1, jnp.int32))
         bases = jnp.arange(num_tiles, dtype=jnp.int32) * tile
-        (dk, rk), _ = jax.lax.scan(body, init, (vt, vt_sq, bases))
+        (dk, rk), _ = jax.lax.scan(body, init, (vt, vt_sq, bases, mask_t))
 
     # normalize missing results (k > n) to row -1
     rk = jnp.where(dk >= BIG, -1, rk)
@@ -178,8 +188,16 @@ class FlatIndex(ANNIndex):
             self._pallas_arrays = (vec, vsq)
         return self._pallas_arrays
 
-    def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED):
+    def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
+                     row_mask=None):
         q = self.corpus.pad_queries(queries)
+        if row_mask is not None:
+            mask = jnp.zeros((self.corpus.n_pad,), bool)
+            mask = mask.at[: len(row_mask)].set(jnp.asarray(row_mask, bool))
+            return exact_topk(
+                self.corpus.vectors, self.corpus.sq_norms, q,
+                k=k, n=self.corpus.n, metric=self.corpus.metric,
+                tile=self.tile, precision="f32", row_mask=mask)
         if self.precision == "int8" and self.corpus.n > 0:
             v8, vscale = self._get_int8_arrays()
             return int8_topk(v8, vscale, self.corpus.vectors,
@@ -222,6 +240,23 @@ class FlatIndex(ANNIndex):
         p = state.get("params", {})
         return cls(corpus, precision=p.get("precision", "f32"),
                    tile=int(p.get("tile", DEFAULT_TILE)))
+
+    def search_filtered(self, query, k, predicate, mode=Mode.BALANCED,
+                        overfetch: int = 3):
+        """Native exact filtered search: the predicate becomes a row mask
+        applied before top-k (no over-fetch loss, unlike the reference's
+        protocol.clj:97-102 default, which remains the base-class path for
+        the other families)."""
+        import numpy as np
+        ids = self.corpus.ids if self.corpus.ids is not None else \
+            np.arange(self.corpus.n)
+        mask = np.fromiter((bool(predicate(i)) for i in ids), bool,
+                           count=self.corpus.n)
+        q = np.asarray(query, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        d, r = self.search_batch(q, k, mode, row_mask=mask)
+        return self._to_result(np.asarray(d)[0], np.asarray(r)[0]).to_dicts()
 
 
 def build_flat_index(data, *, metric="cosine", ids=None, precision="f32",

@@ -105,3 +105,14 @@ def test_int8_quantized_path():
     de, _ = exact.search_batch(q, 10)
     np.testing.assert_allclose(np.asarray(d8)[:, 0], np.asarray(de)[:, 0],
                                atol=1e-4)
+
+
+def test_native_filtered_search_exact():
+    # predicate becomes a pre-top-k row mask: exact filtering even when the
+    # matching set is tiny (over-fetch would miss)
+    data = make_unit(300, 32, seed=29)
+    ids = [f"vec_{i}" for i in range(300)]
+    idx = build_flat_index(data, ids=ids)
+    hits = idx.search_filtered(data[0], 5, lambda i: int(i.split("_")[1]) >= 295)
+    got = sorted(int(h["id"].split("_")[1]) for h in hits)
+    assert len(hits) == 5 and all(g >= 295 for g in got)
