@@ -162,13 +162,53 @@ class FlatIndex(ANNIndex):
         self._int8_arrays = None
 
     def _get_int8_arrays(self):
-        if self._int8_arrays is None:
+        if self._int8_arrays is None or len(self._int8_arrays) != 2:
             v = self.corpus.vectors
             vmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
             vscale = jnp.maximum(vmax / 127.0, 1e-12)
             v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
             self._int8_arrays = (v8, vscale[:, 0])
         return self._int8_arrays
+
+    def _int8_pallas(self, q, k: int, fetch: int):
+        """Pallas quantized coarse scan + exact f32 re-rank."""
+        from hnsw_tpu.ops.distance import gather_score
+        from hnsw_tpu.ops.pallas_scan import (
+            DEFAULT_BT, DEFAULT_NT, pallas_int8_topk,
+        )
+
+        if self._int8_arrays is None or len(self._int8_arrays) != 4:
+            v = self.corpus.vectors
+            vmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+            vscale = jnp.maximum(vmax / 127.0, 1e-12)
+            v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
+            n_pad = ((self.corpus.n_pad + DEFAULT_NT - 1)
+                     // DEFAULT_NT) * DEFAULT_NT
+            extra = n_pad - self.corpus.n_pad
+            v8 = jnp.pad(v8, ((0, extra), (0, 0)))
+            vs = jnp.pad(vscale[:, 0], (0, extra))
+            vsq = jnp.pad(self.corpus.sq_norms, (0, extra))
+            self._int8_arrays = (v8, vs, vsq, n_pad)
+        v8, vs, vsq, _ = self._int8_arrays
+
+        b = q.shape[0]
+        bt = min(DEFAULT_BT, max(((b + 7) // 8) * 8, 8))
+        b_pad = ((b + bt - 1) // bt) * bt
+        qf = jnp.zeros((b_pad, q.shape[1]), jnp.float32).at[:b].set(q)
+        qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+        qscale = jnp.maximum(qmax / 127.0, 1e-12)
+        q8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+        qmeta = jnp.concatenate(
+            [qscale, jnp.sum(qf * qf, axis=1, keepdims=True)], axis=1)
+        _, cand = pallas_int8_topk(v8, vs, vsq, q8, qmeta, self.corpus.n,
+                                   k=fetch, metric=self.corpus.metric, bt=bt)
+        cand = cand[:b]
+        d = gather_score(q, jnp.maximum(cand, 0), self.corpus.vectors,
+                         self.corpus.sq_norms, metric=self.corpus.metric,
+                         valid=cand >= 0)
+        dk, sel = top_k_ascending(d, k)
+        rk = jnp.where(dk < BIG, jnp.take_along_axis(cand, sel, axis=-1), -1)
+        return dk, rk
 
     def _pallas_ready(self, k: int) -> bool:
         from hnsw_tpu.ops import pallas_scan
@@ -199,6 +239,10 @@ class FlatIndex(ANNIndex):
                 k=k, n=self.corpus.n, metric=self.corpus.metric,
                 tile=self.tile, precision="f32", row_mask=mask)
         if self.precision == "int8" and self.corpus.n > 0:
+            from hnsw_tpu.ops import pallas_scan
+            fetch = max(3 * k, k + 8)
+            if jax.default_backend() == "tpu" and pallas_scan.supported(fetch):
+                return self._int8_pallas(q, k, fetch)
             v8, vscale = self._get_int8_arrays()
             return int8_topk(v8, vscale, self.corpus.vectors,
                              self.corpus.sq_norms, q, self.corpus.n,

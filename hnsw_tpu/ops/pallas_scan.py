@@ -162,3 +162,96 @@ def pallas_exact_topk(
 def supported(k: int) -> bool:
     """The unrolled min-sweep selection is economical only for small k."""
     return 1 <= k <= 32
+
+
+# ---------------------------------------------------------------------------
+# int8 variant: quantized coarse scan (scores = int8 MXU dots dequantized
+# with per-row scales; exact norms supplied separately)
+# ---------------------------------------------------------------------------
+
+def _make_kernel_int8(k: int, nt: int, metric: Metric):
+    def kernel(n_ref, q_ref, qmeta_ref, v_ref, vsq_ref, vscale_ref,
+               outd_ref, outi_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            outd_ref[:] = jnp.full(outd_ref.shape, BIG, jnp.float32)
+            outi_ref[:] = jnp.full(outi_ref.shape, -1, jnp.int32)
+
+        q8 = q_ref[:]                                     # int8 [BT, D]
+        v8 = v_ref[:]                                     # int8 [NT, D]
+        dots = jnp.dot(q8, v8.T, preferred_element_type=jnp.int32)
+        qscale = qmeta_ref[:, 0:1]                        # [BT, 1]
+        q_sq = qmeta_ref[:, 1:2]                          # [BT, 1]
+        vscale = vscale_ref[:].reshape(1, nt)
+        dotsf = dots.astype(jnp.float32) * qscale * vscale
+        v_sq = vsq_ref[:].reshape(1, nt)
+        if metric == Metric.COSINE:
+            denom = jnp.sqrt(jnp.maximum(q_sq * v_sq, 1e-12))
+            dist = 1.0 - dotsf / denom
+        elif metric == Metric.EUCLIDEAN:
+            dist = jnp.sqrt(jnp.maximum(q_sq + v_sq - 2.0 * dotsf, 0.0))
+        else:
+            dist = -dotsf
+        base = ti * nt
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        dist = jnp.where(rows < n_ref[0], dist, BIG)
+
+        tile_d, tile_r = _tile_topk(dist, rows, k)
+        cand_d = jnp.concatenate([outd_ref[:, :k], tile_d], axis=1)
+        cand_r = jnp.concatenate([outi_ref[:, :k], tile_r], axis=1)
+        mer_d, mer_r = _merge_sorted(cand_d, cand_r, k)
+        outd_ref[:, :k] = mer_d
+        outi_ref[:, :k] = jnp.where(mer_d < BIG, mer_r, -1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "bt", "nt", "interpret"))
+def pallas_int8_topk(
+    v8: jnp.ndarray,        # int8 [N_pad, D]
+    vscale: jnp.ndarray,    # f32 [N_pad]
+    v_sq: jnp.ndarray,      # f32 [N_pad] exact squared norms
+    q8: jnp.ndarray,        # int8 [B, D]
+    qmeta: jnp.ndarray,     # f32 [B, 2]: (dequant scale, exact |q|^2)
+    n,
+    *,
+    k: int,
+    metric: Metric,
+    bt: int = DEFAULT_BT,
+    nt: int = DEFAULT_NT,
+    interpret: bool = False,
+):
+    """Quantized fused scan (coarse): returns approx (dists [B,k], rows);
+    callers re-rank with exact f32 scores."""
+    n_pad, d = v8.shape
+    b = q8.shape[0]
+    assert n_pad % nt == 0 and b % bt == 0, (n_pad, nt, b, bt)
+    n_arr = jnp.full((1,), n, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bt, n_pad // nt),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((bt, 2), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((nt, d), lambda bi, ti, n_ref: (ti, 0)),
+            pl.BlockSpec((nt,), lambda bi, ti, n_ref: (ti,)),
+            pl.BlockSpec((nt,), lambda bi, ti, n_ref: (ti,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, KPAD), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((bt, KPAD), lambda bi, ti, n_ref: (bi, 0)),
+        ],
+    )
+    outd, outi = pl.pallas_call(
+        _make_kernel_int8(k, nt, metric),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_arr, q8, qmeta, v8, v_sq, vscale)
+    return outd[:, :k], outi[:, :k]

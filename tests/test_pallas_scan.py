@@ -54,3 +54,29 @@ def test_k_greater_than_valid_rows():
     r = np.asarray(r)
     assert (r[0, :6] >= 0).all()
     assert (r[0, 6:] == -1).all()
+
+
+def test_int8_kernel_matches_bruteforce():
+    from hnsw_tpu.ops.pallas_scan import pallas_int8_topk
+
+    data = make_unit(600, 64, seed=77)
+    c = Corpus.from_array(data)
+    n_pad = 1024
+    v = jnp.zeros((n_pad, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-12)
+    vscale = vmax / 127.0
+    v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
+    vsq = jnp.zeros((n_pad,)).at[: c.n_pad].set(c.sq_norms)
+
+    qf = c.pad_queries(data[:128])
+    qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+    qmeta = jnp.concatenate([qscale, jnp.sum(qf * qf, 1, keepdims=True)], 1)
+
+    d, r = pallas_int8_topk(v8, vscale[:, 0], vsq, q8, qmeta, c.n,
+                            k=20, metric=Metric.COSINE, bt=128, nt=256,
+                            interpret=True)
+    _, exact = brute_force_knn(data, data[:128], 10, "cosine")
+    # coarse top-20 must contain nearly all exact top-10
+    rec = recall_at_k(np.asarray(r), exact)
+    assert rec >= 0.98, rec
