@@ -192,7 +192,9 @@ class FlatIndex(ANNIndex):
         v8, vs, vsq, _ = self._int8_arrays
 
         b = q.shape[0]
-        bt = min(DEFAULT_BT, max(((b + 7) // 8) * 8, 8))
+        # int8 kernel holds more live tiles (int32 dots + f32 dist + sweep
+        # temporaries); bt=512 exceeds the 16MB VMEM scoped limit
+        bt = min(256, max(((b + 7) // 8) * 8, 8))
         b_pad = ((b + bt - 1) // bt) * bt
         qf = jnp.zeros((b_pad, q.shape[1]), jnp.float32).at[:b].set(q)
         qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
