@@ -446,13 +446,23 @@ def build_graph(
     levels = np.full((n_pad,), NONE, np.int32)
     levels[:n] = levels_np
 
+    def _layer(members, cap, kc):
+        from hnsw_tpu.models.hnsw.build_large import (
+            LARGE_N, build_layer_clustered,
+        )
+        if len(members) > LARGE_N:
+            # bucketed candidate generation: bounds cost to O(N*pool*D)
+            return build_layer_clustered(
+                corpus.vectors, corpus.sq_norms, members,
+                cap=cap, k_cand=kc, metric=metric, seed=seed)
+        return build_layer(corpus.vectors, corpus.sq_norms, members,
+                           cap=cap, k_cand=kc, metric=metric,
+                           precision=build_precision)
+
     adj0 = np.full((n_pad, m0), NONE, np.int32)
     _tick("layer0", 0.0)
     if n > 1:
-        adj0[:n] = build_layer(corpus.vectors, corpus.sq_norms,
-                               np.arange(n, dtype=np.int32),
-                               cap=m0, k_cand=k_cand, metric=metric,
-                               precision=build_precision)
+        adj0[:n] = _layer(np.arange(n, dtype=np.int32), m0, k_cand)
     _tick("layer0", 1.0)
 
     adj_upper = np.full((max_level, n_pad, m), NONE, np.int32)
@@ -466,10 +476,8 @@ def build_graph(
         if len(members) <= 1:
             continue
         if len(members) > HOST_LAYER_MAX:
-            adj_upper[l - 1, members] = build_layer(
-                corpus.vectors, corpus.sq_norms, members,
-                cap=m, k_cand=min(k_cand, 4 * m), metric=metric,
-                precision=build_precision)
+            adj_upper[l - 1, members] = _layer(members, m,
+                                               min(k_cand, 4 * m))
             continue
         if host_x is None:
             host_x = np.asarray(

@@ -113,3 +113,32 @@ def test_bf16_build_precision_quality():
     _, exact = brute_force_knn(data, q, 10, "cosine")
     _, rows = idx.search_batch(q, 10, ef=100)
     assert recall_at_k(np.asarray(rows), exact) >= 0.95
+
+
+def test_clustered_builder_quality():
+    # the large-N bucketed builder (forced at small scale): recall must stay
+    # near the exact builder's
+    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.hnsw.build_large import build_layer_clustered
+    from hnsw_tpu.models.hnsw.graph import HNSWGraph
+    from hnsw_tpu.types import Corpus
+    import jax.numpy as jnp
+
+    data = make_unit(1500, 48, seed=95)
+    c = Corpus.from_array(data)
+    adj0 = np.full((c.n_pad, 32), -1, np.int32)
+    adj0[: c.n] = build_layer_clustered(
+        c.vectors, c.sq_norms, np.arange(c.n, dtype=np.int32),
+        cap=32, k_cand=48, metric=c.metric, cluster_size=256,
+        n_probe_clusters=2)
+    g = HNSWGraph(levels=jnp.zeros(c.n_pad, jnp.int32),
+                  adj0=jnp.asarray(adj0),
+                  adj_upper=jnp.zeros((0, c.n_pad, 16), jnp.int32),
+                  entry=0, max_level=0, m=16, m0=32,
+                  ef_construction=200, n=c.n)
+    idx = HNSWIndex(c, g)
+    q = data[:32]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    _, rows = idx.search_batch(q, 10, ef=150)
+    r = recall_at_k(np.asarray(rows), exact)
+    assert r >= 0.9, f"clustered-build recall {r}"
