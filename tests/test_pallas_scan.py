@@ -80,3 +80,18 @@ def test_int8_kernel_matches_bruteforce():
     # coarse top-20 must contain nearly all exact top-10
     rec = recall_at_k(np.asarray(r), exact)
     assert rec >= 0.98, rec
+
+
+def test_multiple_query_tiles():
+    data = make_unit(300, 32, seed=79)
+    c = Corpus.from_array(data)
+    n_pad = 512
+    vec = jnp.zeros((n_pad, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vsq = jnp.zeros((n_pad,)).at[: c.n_pad].set(c.sq_norms)
+    q = c.pad_queries(data[:256])          # 2 query tiles at bt=128
+    d, r = pallas_exact_topk(vec, vsq, q, c.n, k=5, metric=Metric.COSINE,
+                             bt=128, nt=256, interpret=True)
+    _, exact = brute_force_knn(data, data[:256], 5, "cosine")
+    assert recall_at_k(np.asarray(r), exact) >= 0.99
+    # each query's own row is its nearest
+    np.testing.assert_array_equal(np.asarray(r)[:, 0], np.arange(256))

@@ -57,3 +57,30 @@ def test_mesh_smaller_than_devices():
     sharded = ShardedPartitionedHNSW(idx, mesh4)
     d, r = sharded.search_batch(data[:4], 5, mode="precise")
     assert np.asarray(r)[0, 0] == 0  # self found
+
+
+def test_sharded_lloyd_matches_single_device(mesh8):
+    import jax.numpy as jnp
+    from hnsw_tpu.ops.kmeans import lloyd
+    from hnsw_tpu.parallel.sharded import sharded_lloyd_step
+    from hnsw_tpu.types import Corpus, Metric
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = make_unit(256, 32, seed=41)
+    c = Corpus.from_array(data)
+    cents0 = c.vectors[:8]
+    valid = (jnp.arange(c.n_pad) < c.n)
+
+    # single-device: one Lloyd iteration
+    cents_1, _ = lloyd(c.vectors, c.sq_norms, valid, cents0, iters=1,
+                       metric=Metric.COSINE)
+
+    # sharded: same iteration with psum-merged statistics
+    shard = NamedSharding(mesh8, P("shards"))
+    vecs = jax.device_put(c.vectors, shard)
+    vsq = jax.device_put(c.sq_norms, shard)
+    val = jax.device_put(valid.astype(jnp.float32), shard)
+    cents_8, assign = sharded_lloyd_step(mesh8, vecs, vsq, val, cents0,
+                                         metric=Metric.COSINE)
+    np.testing.assert_allclose(np.asarray(cents_1), np.asarray(cents_8),
+                               atol=1e-5)
