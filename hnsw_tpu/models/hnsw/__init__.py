@@ -103,6 +103,8 @@ class HNSWIndex(ANNIndex):
         self.corpus = Corpus.from_array(merged, metric=self.corpus.metric,
                                         ids=new_ids)
         self._sample_rows = None   # entry sample must cover the new rows
+        self._vec_lp = None        # bf16 shadow must track the new corpus
+                                   # (shape alone can't detect same-n_pad adds)
         new_rows = np.arange(old_n, old_n + w, dtype=np.int32)
         ml = DEFAULTS["ml"]
         new_levels = assign_levels(w, ml, DEFAULTS["seed"] + old_n + seed_offset)

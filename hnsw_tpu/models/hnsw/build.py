@@ -536,7 +536,9 @@ def insert_wave(
     vectors, v_sq = corpus.vectors, corpus.sq_norms
     metric = corpus.metric
 
-    levels = np.asarray(graph.levels)
+    # explicit copies: np.asarray over a jax array yields a READ-ONLY view
+    # when no dtype/shape conversion happens, and we mutate these in place
+    levels = np.array(graph.levels, dtype=np.int32)
     if levels.shape[0] != n_pad:
         grown = np.full((n_pad,), NONE, np.int32)
         grown[: levels.shape[0]] = levels
@@ -544,8 +546,8 @@ def insert_wave(
     levels[new_rows] = new_levels
     new_max = int(max(graph.max_level, new_levels.max() if w else 0))
 
-    adj0 = np.asarray(graph.adj0)
-    adj_upper = np.asarray(graph.adj_upper)
+    adj0 = np.array(graph.adj0, dtype=np.int32)
+    adj_upper = np.array(graph.adj_upper, dtype=np.int32)
     if adj0.shape[0] != n_pad or adj_upper.shape[0] < new_max:
         a0 = np.full((n_pad, graph.m0), NONE, np.int32)
         a0[: adj0.shape[0]] = adj0
@@ -581,10 +583,13 @@ def insert_wave(
             # adjacency as "layer 0" and upper layers above it
             upper = jnp.asarray(adj_upper[l:]) if l < new_max else \
                 jnp.zeros((0, n_pad, graph.m), jnp.int32)
+            # euclidean's norm formula cancels catastrophically at bf16-class
+            # matmul precision — same auto policy as HNSWIndex.search_batch
+            prec = "default" if metric == Metric.COSINE else "highest"
             d_c, i_c = hnsw_search_batch(
                 vectors, v_sq, adj_l, upper,
                 jnp.full((wp,), graph.entry, jnp.int32), q,
-                k=ef_c, ef=ef_c, metric=metric)
+                k=ef_c, ef=ef_c, metric=metric, precision=prec)
             cands.append(np.asarray(i_c))
         # intra-wave candidates at this level
         wave_members = np.nonzero(at_level)[0]

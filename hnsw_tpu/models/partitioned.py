@@ -195,7 +195,10 @@ def build_partitioned_hnsw(
         lu = g.adj_upper.shape[0]
         if lu:
             adju[i, :lu, : sub.n_pad] = np.asarray(g.adj_upper)
-        entries[i] = max(g.entry, 0)
+        # keep -1 for empty partitions: hnsw_search_batch masks cur<0 to BIG
+        # and returns -1; clamping to 0 would seed the beam on a padding row
+        # whose fake id=-1 result can displace real neighbors at the merge
+        entries[i] = g.entry
 
     return PartitionedHNSWIndex(
         corpus, num_partitions=p,

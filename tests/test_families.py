@@ -86,3 +86,18 @@ def test_self_query_found_by_partition_families(built):
     for fam in ("ivf_flat", "partitioned_hnsw", "pcaf"):
         hits = built[fam].search(DATA[100], 1, mode="precise")
         assert hits and hits[0]["distance"] < 1e-3, fam
+
+
+def test_partitioned_empty_partitions_never_return_padding():
+    """Regression (ADVICE r1): n < num_partitions leaves empty partitions;
+    their entry must stay -1 so the beam never seeds on a padding row and no
+    fake id=-1 / padding result reaches the merge."""
+    from hnsw_tpu.models.partitioned import build_partitioned_hnsw
+    small = DATA[:10]
+    idx = build_partitioned_hnsw(small, num_partitions=8, M=4)
+    d, r = idx.search_batch(small[:3], 5, mode="precise")
+    r = np.asarray(r)
+    d = np.asarray(d)
+    assert (r[:, 0] == np.arange(3)).all()          # self found first
+    assert (r >= 0).all(), r                         # k=5 <= n=10: all real
+    assert (d[r >= 0] < 0.999).all()                 # no padding distance 1.0

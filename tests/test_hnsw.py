@@ -87,6 +87,34 @@ def test_incremental_insert():
     assert hits[0]["distance"] < 1e-3
 
 
+def test_incremental_insert_within_pad_slack():
+    """Regression (ADVICE r1): an add_batch small enough not to grow n_pad
+    used to (a) crash on read-only numpy views of the jax adjacency arrays
+    and (b) leave a stale bf16 vector shadow so new rows scored against
+    zeros and were silently dropped from results."""
+    data = make_unit(1008, 32, seed=7)
+    idx = build_hnsw_index(data[:1001], M=8)
+    idx.add_batch(data[1001:])          # 7 rows, fits in the pad slack
+    assert idx.graph.n == 1008
+    hits = idx.search(data[1001], 1)    # exact match must be returned
+    assert int(hits[0]["id"]) == 1001 and hits[0]["distance"] < 1e-3
+
+
+def test_many_successive_small_waves():
+    """The add!-heavy usage pattern (api/simple.clj): many small waves must
+    keep the graph searchable with good recall, not just one big wave."""
+    data = make_unit(640, 32, seed=11)
+    idx = build_hnsw_index(data[:160], M=8)
+    for start in range(160, 640, 32):
+        idx.add_batch(data[start:start + 32])
+    assert idx.graph.n == 640
+    q = data[::40]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    _, rows = idx.search_batch(q, 10, ef=128)
+    r = recall_at_k(np.asarray(rows), exact)
+    assert r >= 0.92, f"recall after 15 small waves {r}"
+
+
 def test_persistence_roundtrip(built):
     # identical result ids after save/load (integration_test.clj:68-78)
     data, idx = built
