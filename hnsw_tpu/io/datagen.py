@@ -47,12 +47,43 @@ def generate_vectors(
     num_clusters: int = 10,
     noise: float = 0.1,
     fmt: str = "array",          # "array" | "indexed" (["vec_i", arr] pairs)
+    latent_dim: Optional[int] = None,   # "embedding" only
+    center_weight: float = 0.72,        # "embedding" only
 ):
     """Seeded synthetic vectors (data_generator.clj:50-87)."""
     n = SIZE_PRESETS.get(n, n) if isinstance(n, str) else int(n)
     dim = DIMENSION_PRESETS.get(dim, dim) if isinstance(dim, str) else int(dim)
     rng = np.random.default_rng(seed)
-    if distribution == "gaussian":
+    if distribution == "embedding":
+        # Realistic text-embedding geometry (the reference's corpus is mpnet
+        # Bible verses: normalized, strongly clustered by book/topic —
+        # export_complete_bible.py:91). Real embeddings concentrate near a
+        # low-dimensional manifold (effective dim ~30-100 at D=768) with
+        # within-topic cosine ~0.5-0.8 and cross-topic ~0.1. Naive
+        # "centers + full-dim gaussian noise" misses this badly: at D=768
+        # the noise norm is ~sqrt(D)x the center norm, so the result is
+        # near-uniform on the sphere. Here: unit topic centers in an
+        # r-dim latent space, point = a*center + sqrt(1-a^2)*residual,
+        # Zipf-skewed topic sizes, random up-projection, tiny off-manifold
+        # fuzz, then normalize.
+        r = latent_dim or max(min(dim, 32), dim // 8)
+        centers = rng.standard_normal((num_clusters, r)).astype(np.float32)
+        centers /= np.maximum(np.linalg.norm(centers, axis=1, keepdims=True),
+                              1e-12)
+        p = (np.arange(1, num_clusters + 1, dtype=np.float64)) ** -0.7
+        p /= p.sum()
+        assign = rng.choice(num_clusters, size=n, p=p)
+        resid = rng.standard_normal((n, r)).astype(np.float32)
+        resid /= np.maximum(np.linalg.norm(resid, axis=1, keepdims=True),
+                            1e-12)
+        a = float(center_weight)
+        z = a * centers[assign] + np.sqrt(max(1.0 - a * a, 0.0)) * resid
+        proj = (rng.standard_normal((r, dim)).astype(np.float32)
+                / np.sqrt(r, dtype=np.float32))
+        x = z @ proj
+        x += 0.02 * rng.standard_normal((n, dim)).astype(np.float32)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    elif distribution == "gaussian":
         x = rng.standard_normal((n, dim)).astype(np.float32)
     elif distribution == "uniform":
         x = rng.uniform(-1, 1, (n, dim)).astype(np.float32)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hnsw_tpu.ops.distance import BIG, distances_from_dots
-from hnsw_tpu.ops.topk import top_k_ascending
+from hnsw_tpu.ops.topk import dedupe_ascending, top_k_ascending
 from hnsw_tpu.types import Corpus, Metric, round_up
 
 
@@ -40,29 +40,49 @@ class PartitionTable:
 
     @classmethod
     def build(cls, corpus: Corpus, assign: np.ndarray,
-              centroids: Optional[np.ndarray] = None) -> "PartitionTable":
-        """assign: int32 [n] cluster per original row (>= 0)."""
+              centroids: Optional[np.ndarray] = None,
+              secondary: Optional[np.ndarray] = None) -> "PartitionTable":
+        """assign: int32 [n] primary cluster per original row (>= 0).
+        secondary: optional int32 [n] spill cluster (-1 = none) — SOAR-style
+        multi-assignment: the row is stored in BOTH slabs so a missed
+        primary probe can still find it (duplicates are removed at the
+        search merge by dedupe_ascending)."""
         n = corpus.n
         assign = np.asarray(assign[:n])
-        k = int(assign.max()) + 1 if n else 1
-        order = np.argsort(assign, kind="stable").astype(np.int32)
-        counts = np.bincount(assign, minlength=k).astype(np.int32)
+        if centroids is not None:
+            k = int(centroids.shape[0])
+        else:
+            k = int(assign.max()) + 1 if n else 1
+
+        rows = np.arange(n, dtype=np.int32)
+        clusters = assign.astype(np.int64)
+        if secondary is not None:
+            sec = np.asarray(secondary[:n])
+            keep = sec >= 0
+            rows = np.concatenate([rows, rows[keep]])
+            clusters = np.concatenate([clusters, sec[keep].astype(np.int64)])
+        m = len(rows)
+
+        sort = np.argsort(clusters, kind="stable")
+        order = rows[sort]
+        counts = np.bincount(clusters, minlength=k).astype(np.int32)
         starts = np.zeros(k, np.int32)
         starts[1:] = np.cumsum(counts)[:-1]
         cmax = int(round_up(max(int(counts.max()), 1), 8))
 
         host_vec = np.asarray(corpus.vectors)
-        permuted = np.zeros((n + cmax, corpus.d_pad), np.float32)
-        permuted[:n] = host_vec[order]
-        perm = np.full(n + cmax, -1, np.int32)
-        perm[:n] = order
-        v_sq = np.zeros(n + cmax, np.float32)
-        v_sq[:n] = np.asarray(corpus.sq_norms)[order]
+        permuted = np.zeros((m + cmax, corpus.d_pad), np.float32)
+        permuted[:m] = host_vec[order]
+        perm = np.full(m + cmax, -1, np.int32)
+        perm[:m] = order
+        v_sq = np.zeros(m + cmax, np.float32)
+        v_sq[:m] = np.asarray(corpus.sq_norms)[order]
 
         if centroids is None:
             cents = np.zeros((k, corpus.d_pad), np.float32)
             np.add.at(cents, assign, host_vec[:n])
-            cents /= np.maximum(counts[:, None], 1)
+            pc = np.bincount(assign, minlength=k)
+            cents /= np.maximum(pc[:, None], 1)
         else:
             cents = np.zeros((k, corpus.d_pad), np.float32)
             cents[:, : centroids.shape[1]] = centroids
@@ -101,7 +121,7 @@ def probe_mask_from_centroids(
     return mask, probe_ids
 
 
-@partial(jax.jit, static_argnames=("k", "cmax", "metric"))
+@partial(jax.jit, static_argnames=("k", "cmax", "metric", "dedup"))
 def scan_search(
     table_vectors: jnp.ndarray,  # [N_slab, D]
     table_v_sq: jnp.ndarray,     # [N_slab]
@@ -114,12 +134,16 @@ def scan_search(
     k: int,
     cmax: int,
     metric: Metric,
+    dedup: bool = False,         # True when the table was built with spill
 ):
     """Masked slab scan over all clusters; returns (dists [B,k], original
     rows [B,k], -1 for missing)."""
     b, d = queries.shape
     q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
     n_clusters = starts.shape[0]
+    # spilled tables hold each row in up to 2 slabs: carry 2k slots so k
+    # unique survivors are guaranteed, dedupe at the end
+    kk = 2 * k if dedup else k
 
     def step(carry, c):
         best_d, best_r = carry
@@ -136,10 +160,128 @@ def scan_search(
         d_all = jnp.concatenate([best_d, dist], axis=-1)
         r_all = jnp.concatenate(
             [best_r, jnp.broadcast_to(slab_rows[None, :], (b, cmax))], axis=-1)
-        dk, sel = top_k_ascending(d_all, k)
+        dk, sel = top_k_ascending(d_all, kk)
         return (dk, jnp.take_along_axis(r_all, sel, axis=-1)), None
 
-    init = (jnp.full((b, k), BIG), jnp.full((b, k), -1, jnp.int32))
+    init = (jnp.full((b, kk), BIG), jnp.full((b, kk), -1, jnp.int32))
     (dk, rk), _ = jax.lax.scan(step, init, jnp.arange(n_clusters))
+    if dedup:
+        dk, rk = dedupe_ascending(dk, rk, k)
     rk = jnp.where(dk < BIG, rk, -1)
     return dk, rk
+
+
+@partial(jax.jit,
+         static_argnames=("k", "cmax", "qcap", "metric", "precision"))
+def grouped_search(
+    table_vectors: jnp.ndarray,  # [N_slab, D]
+    table_v_sq: jnp.ndarray,     # [N_slab]
+    table_perm: jnp.ndarray,     # [N_slab] int32
+    starts: jnp.ndarray,         # [K]
+    lens: jnp.ndarray,           # [K]
+    probe_ids: jnp.ndarray,      # [B, P] int32, ascending by centroid dist
+    queries: jnp.ndarray,        # [B, D]
+    *,
+    k: int,
+    cmax: int,
+    qcap: int,
+    metric: Metric,
+    precision: str = "default",
+):
+    """Compute-skipping probe scan: group queries BY CLUSTER, score each slab
+    only against the queries that probe it.
+
+    The masked scan above streams the whole corpus through the MXU per batch
+    — simple, but probes never reduce compute, so IVF can't beat the flat
+    scan. Here each cluster's slab is scored once against a gathered [qcap]
+    query block, so FLOPs scale with the probed fraction (K*qcap*cmax*D vs
+    B*N*D) while HBM traffic stays one corpus stream per batch. This is the
+    batched TPU answer to the reference's per-query probe loop
+    (ivf_flat.clj:261-288).
+
+    qcap bounds the per-cluster query group. Pairs beyond qcap are dropped
+    FARTHEST-PROBE-FIRST (pairs are ranked by probe order within a cluster),
+    so recall degrades gracefully under probe skew; the drop count is
+    returned — never silently capped. Returns (dists [B,k], rows [B,k],
+    dropped_pairs scalar int32).
+    """
+    b, d = queries.shape
+    p = probe_ids.shape[1]
+    n_clusters = starts.shape[0]
+    kq = min(k, cmax)
+
+    flat_c = probe_ids.reshape(-1).astype(jnp.int32)       # [B*P], b-major
+    rank = (jnp.arange(b * p, dtype=jnp.int32) % p)
+    # group by cluster; within a cluster, near probes (low rank) first so
+    # qcap overflow sheds the farthest probes
+    key = flat_c * p + rank
+    order = jnp.argsort(key)
+    sc = flat_c[order]                                     # sorted clusters
+    sb = (order // p).astype(jnp.int32)                    # query per pair
+    firsts = jnp.searchsorted(sc, jnp.arange(n_clusters, dtype=sc.dtype),
+                              side="left")
+    pos = jnp.arange(b * p, dtype=jnp.int32) - firsts[sc].astype(jnp.int32)
+    ok = pos < qcap
+    lin = jnp.where(ok, sc * qcap + pos, n_clusters * qcap)  # last = dump
+    qslot = (jnp.full((n_clusters * qcap + 1,), -1, jnp.int32)
+             .at[lin].set(sb)[:-1].reshape(n_clusters, qcap))
+    pairslot = (jnp.full((n_clusters * qcap + 1,), b * p, jnp.int32)
+                .at[lin].set(order.astype(jnp.int32))[:-1]
+                .reshape(n_clusters, qcap))
+    dropped = (b * p) - jnp.sum(ok.astype(jnp.int32))
+
+    q_sq_all = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)   # [B]
+    lp = precision != "highest"
+    q_mat = queries.astype(jnp.bfloat16) if lp else queries
+    t_mat = table_vectors.astype(jnp.bfloat16) if lp else table_vectors
+
+    def step(carry, c):
+        out_d, out_r = carry                               # [B*P+1, kq]
+        qi = qslot[c]                                      # [qcap]
+        qg = jnp.take(q_mat, jnp.maximum(qi, 0), axis=0)   # [qcap, D]
+        q_sq = jnp.take(q_sq_all, jnp.maximum(qi, 0))[:, None]
+        start = starts[c]
+        slab = jax.lax.dynamic_slice_in_dim(t_mat, start, cmax, 0)
+        slab_sq = jax.lax.dynamic_slice_in_dim(table_v_sq, start, cmax, 0)
+        slab_rows = jax.lax.dynamic_slice_in_dim(table_perm, start, cmax, 0)
+        local = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
+        valid = ((local < lens[c]) & (slab_rows[None, :] >= 0)
+                 & (qi >= 0)[:, None])
+        if lp:
+            dots = jnp.dot(qg, slab.T, preferred_element_type=jnp.float32)
+        else:
+            dots = jnp.dot(qg, slab.T, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        dist = distances_from_dots(dots, q_sq, slab_sq, metric)
+        dist = jnp.where(valid, dist, BIG)
+        dloc, iloc = top_k_ascending(dist, kq)             # [qcap, kq]
+        rows = jnp.take(slab_rows, iloc)
+        rows = jnp.where(dloc < BIG, rows, -1)
+        ps = pairslot[c]
+        out_d = out_d.at[ps].set(dloc)
+        out_r = out_r.at[ps].set(rows)
+        return (out_d, out_r), None
+
+    init = (jnp.full((b * p + 1, kq), BIG),
+            jnp.full((b * p + 1, kq), -1, jnp.int32))
+    (od, orows), _ = jax.lax.scan(step, init, jnp.arange(n_clusters))
+    od = od[:-1].reshape(b, p * kq)
+    orows = orows[:-1].reshape(b, p * kq)
+    if p * kq < k:   # fewer candidates than requested (tiny tables)
+        od = jnp.pad(od, ((0, 0), (0, k - p * kq)), constant_values=BIG)
+        orows = jnp.pad(orows, ((0, 0), (0, k - p * kq)), constant_values=-1)
+    # dedupe: spilled rows (and any future multi-probe overlap) appear once
+    # per probed slab
+    dk, rk = dedupe_ascending(od, orows, k)
+    rk = jnp.where(dk < BIG, rk, -1)
+    return dk, rk, dropped
+
+
+def default_qcap(b: int, p: int, k_parts: int) -> int:
+    """Per-cluster query-group capacity: ~4x the uniform expectation,
+    power-of-two bucketed (compile-cache friendly), never above B."""
+    avg = max(1, (b * p + k_parts - 1) // k_parts)
+    cap = 1
+    while cap < 4 * avg:
+        cap *= 2
+    return max(8, min(cap, b))

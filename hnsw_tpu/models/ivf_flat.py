@@ -7,14 +7,22 @@ them, fetching 2k per partition then taking a global top-k (:217-294). Mode
 presets :turbo 1 probe ... :precise 12 (:243-247); default 24 partitions.
 
 TPU design: assignment and cluster scans are MXU GEMMs; partitions live as
-contiguous slabs of a cluster-sorted permutation so a probe is a
-dynamic_slice (see models/_partition_scan.py). The merge is an exact top-k
-over all probed slabs — a strict superset of the reference's 2k-per-partition
-fetch, so recall can only be equal or better at the same probe count.
+contiguous slabs of a cluster-sorted permutation. Two search paths:
+
+- masked slab scan (models/_partition_scan.py:scan_search) — streams the
+  whole corpus once per batch; best when probes cover a large fraction.
+- grouped probe scan (grouped_search) — queries grouped per cluster so
+  FLOPs scale with the probed fraction; the path that beats the flat scan
+  at large N.
+
+Beyond the reference, recall hardening: capacity-balanced assignment
+(ops/kmeans.py:balanced_assign) and optional SOAR-style multi-assignment
+(`spill`), with duplicate-aware merges.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
@@ -22,11 +30,15 @@ import numpy as np
 
 from hnsw_tpu.config import IVF_FLAT_PROBES, Mode
 from hnsw_tpu.models._partition_scan import (
-    PartitionTable, probe_mask_from_centroids, scan_search,
+    PartitionTable, default_qcap, grouped_search, probe_mask_from_centroids,
+    scan_search,
 )
 from hnsw_tpu.models.base import ANNIndex
 from hnsw_tpu.models.common import as_corpus
-from hnsw_tpu.ops.kmeans import random_partition, train_kmeans
+from hnsw_tpu.ops.kmeans import (
+    balanced_assign, random_partition, spill_assign, topc_clusters,
+    train_kmeans,
+)
 from hnsw_tpu.types import Corpus, Metric
 
 
@@ -34,24 +46,46 @@ class IVFFlatIndex(ANNIndex):
     family = "ivf_flat"
 
     def __init__(self, corpus: Corpus, table: PartitionTable, *,
-                 partitioning: str = "kmeans", seed: int = 42):
+                 partitioning: str = "kmeans", seed: int = 42,
+                 spill: int = 0):
         super().__init__(corpus)
         self.table = table
         self.partitioning = partitioning
         self.seed = seed
+        self.spill = spill
+        self._last_dropped = 0  # grouped-path qcap drops (see index_info)
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
-                     num_probes: Optional[int] = None):
+                     num_probes: Optional[int] = None, scan: str = "auto"):
+        """scan: "auto" | "grouped" | "full". "grouped" skips un-probed
+        compute (wins when probes/partitions is small); "full" streams every
+        slab with a probe mask (wins when probes cover most partitions)."""
         q = self.corpus.pad_queries(queries)
         if num_probes is None:
             num_probes = IVF_FLAT_PROBES[Mode.coerce(mode)]
-        mask, _ = probe_mask_from_centroids(
-            q, self.table.centroids, num_probes=num_probes,
-            metric=self.corpus.metric)
+        t = self.table
+        p = min(num_probes, t.k_parts)
+        copies = 1 + (1 if self.spill else 0)
+        if scan == "auto":
+            # grouped FLOPs ~ 4*B*P*cmax*D vs full B*N_slab*D; with balanced
+            # slabs cmax ~ 1.25*copies*N/K, so grouped wins when ~5*c*P < K
+            scan = "grouped" if 5 * copies * p <= t.k_parts else "full"
+        mask, probe_ids = probe_mask_from_centroids(
+            q, t.centroids, num_probes=p, metric=self.corpus.metric)
+        if scan == "grouped":
+            qcap = default_qcap(q.shape[0], p, t.k_parts)
+            precision = ("default" if self.corpus.metric == Metric.COSINE
+                         else "highest")
+            d, r, dropped = grouped_search(
+                t.vectors, t.v_sq, t.perm, t.starts, t.lens, probe_ids, q,
+                k=k, cmax=t.cmax, qcap=qcap, metric=self.corpus.metric,
+                precision=precision)
+            self._last_dropped = dropped  # device scalar; read lazily
+            return d, r
         return scan_search(
-            self.table.vectors, self.table.v_sq, self.table.perm,
-            self.table.starts, self.table.lens, mask, q,
-            k=k, cmax=self.table.cmax, metric=self.corpus.metric)
+            t.vectors, t.v_sq, t.perm, t.starts, t.lens, mask, q,
+            k=k, cmax=t.cmax, metric=self.corpus.metric,
+            dedup=self.spill > 0)
 
     def index_info(self) -> Dict[str, Any]:
         sizes = self.table.partition_sizes()
@@ -62,6 +96,9 @@ class IVFFlatIndex(ANNIndex):
             "metric": self.corpus.metric.value,
             "num_partitions": self.table.k_parts,
             "partitioning": self.partitioning,
+            "spill": self.spill,
+            "cmax": self.table.cmax,
+            "last_grouped_dropped_pairs": int(self._last_dropped),
             "partition_sizes": {"min": int(sizes.min()) if len(sizes) else 0,
                                 "max": int(sizes.max()) if len(sizes) else 0,
                                 "avg": float(sizes.mean()) if len(sizes) else 0.0},
@@ -71,7 +108,8 @@ class IVFFlatIndex(ANNIndex):
         t = self.table
         return {
             "params": {"partitioning": self.partitioning, "seed": self.seed,
-                       "cmax": t.cmax, "k_parts": t.k_parts},
+                       "cmax": t.cmax, "k_parts": t.k_parts,
+                       "spill": self.spill},
             "arrays": {
                 "perm": np.asarray(t.perm), "starts": np.asarray(t.starts),
                 "lens": np.asarray(t.lens),
@@ -97,7 +135,7 @@ class IVFFlatIndex(ANNIndex):
             cmax=int(p["cmax"]), k_parts=int(p["k_parts"]),
         )
         return cls(corpus, table, partitioning=p.get("partitioning", "kmeans"),
-                   seed=int(p.get("seed", 42)))
+                   seed=int(p.get("seed", 42)), spill=int(p.get("spill", 0)))
 
 
 def build_ivf_flat_index(
@@ -109,10 +147,13 @@ def build_ivf_flat_index(
     metric="cosine",
     ids=None,
     seed: int = 42,
+    spill: int = 0,                # 1 = SOAR-style secondary assignment
+    balance: float = 1.25,         # cluster-size cap factor (0 = unbalanced)
     **_ignored,
 ) -> IVFFlatIndex:
     corpus = as_corpus(data, metric=metric, ids=ids)
     k = max(1, min(num_partitions, max(corpus.n, 1)))
+    secondary = None
     if corpus.n == 0:
         assign = np.zeros(0, np.int32)
         cents = np.zeros((k, corpus.dim), np.float32)
@@ -120,10 +161,22 @@ def build_ivf_flat_index(
         assign = random_partition(corpus.n, k, seed)
         cents = None
     else:
-        cents_j, assign_j = train_kmeans(
+        cents_j, _ = train_kmeans(
             corpus.vectors, corpus.sq_norms, corpus.n,
             k=k, seed=seed, iters=max_iterations, metric=corpus.metric)
-        assign = np.asarray(assign_j)[: corpus.n]
         cents = np.asarray(cents_j)
-    table = PartitionTable.build(corpus, assign, centroids=cents)
-    return IVFFlatIndex(corpus, table, partitioning=partitioning, seed=seed)
+        c_width = min(max(4, 1 + (1 if spill else 0)), k)
+        topd, topi = topc_clusters(corpus.vectors, corpus.sq_norms, corpus.n,
+                                   cents_j, c=c_width, metric=corpus.metric)
+        if balance and k > 1:
+            cap = int(math.ceil(balance * corpus.n / k))
+            assign = balanced_assign(topd, topi, k, cap)
+        else:
+            cap = corpus.n
+            assign = topi[:, 0].astype(np.int32)
+        if spill and k > 1:
+            secondary = spill_assign(assign, topd, topi, k, cap)
+    table = PartitionTable.build(corpus, assign, centroids=cents,
+                                 secondary=secondary)
+    return IVFFlatIndex(corpus, table, partitioning=partitioning, seed=seed,
+                        spill=spill if secondary is not None else 0)

@@ -56,11 +56,14 @@ class LightningIndex(IVFFlatIndex):
                 q, self.table.centroids, num_probes=probes,
                 metric=self.corpus.metric)
         else:
-            # random partition choice per query (lightning.clj:152-158)
+            # random partition choice per query (lightning.clj:152-158):
+            # batched Gumbel-top-k — uniform sampling without replacement
+            # for the whole batch in one shot, no per-query host loop
             b = q.shape[0]
+            g = self._rng.gumbel(size=(b, kp))
+            sel = np.argpartition(-g, probes - 1, axis=1)[:, :probes]
             mask_np = np.zeros((b, kp), bool)
-            for i in range(b):
-                mask_np[i, self._rng.choice(kp, probes, replace=False)] = True
+            np.put_along_axis(mask_np, sel, True, axis=1)
             mask = jnp.asarray(mask_np)
         return scan_search(
             self.table.vectors, self.table.v_sq, self.table.perm,

@@ -78,7 +78,8 @@ class HybridLSHIndex(ANNIndex):
     family = "hybrid_lsh"
 
     def __init__(self, corpus: Corpus, *, proj, buckets, num_tables: int,
-                 num_bits: int, bucket_cap: int, seed: int = 42):
+                 num_bits: int, bucket_cap: int, seed: int = 42,
+                 overflow: Optional[Dict[str, int]] = None):
         super().__init__(corpus)
         self.proj = proj            # [T, D_pad, bits] float32
         self.buckets = buckets      # int32 [T, 2^bits, cap] rows, -1 pad
@@ -86,6 +87,11 @@ class HybridLSHIndex(ANNIndex):
         self.num_bits = num_bits
         self.bucket_cap = bucket_cap
         self.seed = seed
+        # bucket_cap overflow accounting (the reference keeps every vector —
+        # hybrid_lsh.clj:113-129; we bound buckets but never silently:
+        # dropped_slots = (row, table) placements shed; rows_unreachable =
+        # rows shed from ALL tables, i.e. actual recall loss)
+        self.overflow = overflow or {"dropped_slots": 0, "rows_unreachable": 0}
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      num_probes: Optional[int] = None,
@@ -113,6 +119,9 @@ class HybridLSHIndex(ANNIndex):
             "bucket_cap": self.bucket_cap,
             "avg_bucket_occupancy": float(occupancy.mean()),
             "max_bucket_occupancy": int(occupancy.max()),
+            "overflow_dropped_slots": int(self.overflow["dropped_slots"]),
+            "overflow_rows_unreachable": int(
+                self.overflow["rows_unreachable"]),
         }
 
     def to_state(self) -> Dict[str, Any]:
@@ -186,6 +195,8 @@ def build_lsh_index(
         bucket_cap = int(min(max(8 * avg, 32), max(n, 32)))
 
     buckets = np.full((num_tables, num_buckets, bucket_cap), -1, np.int32)
+    dropped_slots = 0
+    stored = np.zeros(max(n, 1), bool)
     if n:
         scores = np.einsum("nd,tdh->tnh",
                            np.asarray(corpus.vectors[: n]), proj)
@@ -198,8 +209,12 @@ def build_lsh_index(
             pos = np.arange(n) - first
             keep = pos < bucket_cap
             buckets[ti, hs[keep], pos[keep]] = order[keep].astype(np.int32)
+            dropped_slots += int((~keep).sum())
+            stored[order[keep]] = True
+    overflow = {"dropped_slots": dropped_slots,
+                "rows_unreachable": int(n - stored[:n].sum()) if n else 0}
 
     return HybridLSHIndex(
         corpus, proj=jnp.asarray(proj), buckets=jnp.asarray(buckets),
         num_tables=num_tables, num_bits=num_bits, bucket_cap=bucket_cap,
-        seed=seed)
+        seed=seed, overflow=overflow)

@@ -108,6 +108,113 @@ def train_kmeans(vectors, v_sq, n: int, *, k: int, seed: int = 42,
     return lloyd(vectors, v_sq, valid, cents, iters=iters, metric=metric)
 
 
+@partial(jax.jit, static_argnames=("c", "metric"))
+def _topc_chunk(chunk, chunk_sq, centroids, *, c: int, metric: Metric):
+    dist = _scores(chunk, chunk_sq, centroids, metric)
+    neg, ids = jax.lax.top_k(-dist, c)
+    return -neg, ids
+
+
+def topc_clusters(vectors, v_sq, n: int, centroids, *,
+                  c: int = 4, metric: Metric = Metric.COSINE,
+                  chunk: int = 65536):
+    """Per-row c nearest centroids (ascending). Row-chunked so the [n, K]
+    distance tile never materializes for large corpora. Returns host arrays
+    (dists [n, c], ids [n, c])."""
+    k = centroids.shape[0]
+    c = min(c, k)
+    n_pad = vectors.shape[0]
+    out_d = np.empty((n, c), np.float32)
+    out_i = np.empty((n, c), np.int32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        ln = e - s
+        lpad = int(min(n_pad - s, chunk))
+        d, i = _topc_chunk(
+            jax.lax.dynamic_slice_in_dim(vectors, s, lpad, 0),
+            jax.lax.dynamic_slice_in_dim(v_sq, s, lpad, 0),
+            centroids, c=c, metric=metric)
+        out_d[s:e] = np.asarray(d)[:ln]
+        out_i[s:e] = np.asarray(i)[:ln]
+    return out_d, out_i
+
+
+def balanced_assign(dist: np.ndarray, cand: np.ndarray, k: int,
+                    cap: int, rounds: int = 4) -> np.ndarray:
+    """Capacity-constrained assignment from per-row candidate clusters.
+
+    dist/cand: [n, C] ascending candidate distances / cluster ids (from
+    topc_clusters). Round-based spill: every round, clusters over `cap`
+    keep their cap highest-eviction-cost rows (cost = distance increase of
+    moving to the row's next candidate) and evict the rest to that next
+    candidate. Leftovers after `rounds` go to the least-loaded cluster.
+    Balance is what makes slab widths (cmax) — and thus the grouped-scan
+    compute — predictable; the reference's k-means has no such constraint
+    and its README's partition-size skew shows it (ivf_flat.clj:119-131).
+    """
+    n, c_width = cand.shape
+    assign = cand[:, 0].astype(np.int64).copy()
+    choice = np.zeros(n, np.int64)
+    nxt = np.minimum(choice + 1, c_width - 1)
+    for _ in range(rounds):
+        counts = np.bincount(assign, minlength=k)
+        if (counts <= cap).all():
+            break
+        cost = dist[np.arange(n), nxt] - dist[np.arange(n), choice]
+        # exhausted candidate lists never evict (cost inf)
+        cost = np.where(choice >= c_width - 1, np.inf, cost)
+        # rank rows within their cluster by cost DESC (keep costly-to-move)
+        order = np.lexsort((-cost, assign))
+        a_sorted = assign[order]
+        first = np.searchsorted(a_sorted, a_sorted, side="left")
+        pos = np.arange(n) - first
+        evict = np.zeros(n, bool)
+        evict[order[pos >= cap]] = True
+        evict &= np.isfinite(cost)
+        choice = np.where(evict, nxt, choice)
+        assign = cand[np.arange(n), choice].astype(np.int64)
+        nxt = np.minimum(choice + 1, c_width - 1)
+    # force-fix any residual overflow: move excess rows to least-loaded
+    counts = np.bincount(assign, minlength=k)
+    if (counts > cap).any():
+        order = np.lexsort((dist[np.arange(n), choice], assign))
+        a_sorted = assign[order]
+        first = np.searchsorted(a_sorted, a_sorted, side="left")
+        pos = np.arange(n) - first
+        excess_rows = order[pos >= cap]
+        for r in excess_rows:
+            tgt = int(np.argmin(counts))
+            counts[assign[r]] -= 1
+            assign[r] = tgt
+            counts[tgt] += 1
+    return assign.astype(np.int32)
+
+
+def spill_assign(primary: np.ndarray, dist: np.ndarray, cand: np.ndarray,
+                 k: int, cap: int) -> np.ndarray:
+    """Secondary (SOAR-style multi-assignment) cluster per row: the nearest
+    candidate different from the primary, capped per cluster (overflow rows
+    get -1 = no spill — redundancy only, never correctness). Spilling stores
+    each row in 2 clusters so a missed primary probe can still find it."""
+    n, c_width = cand.shape
+    is_primary = cand == primary[:, None]
+    # first candidate != primary
+    sec_choice = np.argmax(~is_primary, axis=1)
+    has = ~is_primary[np.arange(n), sec_choice]
+    secondary = np.where(has, cand[np.arange(n), sec_choice], -1).astype(np.int64)
+    sec_dist = np.where(has, dist[np.arange(n), sec_choice], np.inf)
+    # cap per cluster: keep closest rows
+    ok = secondary >= 0
+    order = np.lexsort((sec_dist, secondary))
+    s_sorted = secondary[order]
+    first = np.searchsorted(s_sorted, s_sorted, side="left")
+    pos = np.arange(n) - first
+    drop = np.zeros(n, bool)
+    drop[order] = pos >= cap
+    secondary[drop | ~ok] = -1
+    return secondary.astype(np.int32)
+
+
 def random_partition(n: int, k: int, seed: int = 42,
                      shuffle: bool = True) -> np.ndarray:
     """Random equal split — the reference's :random partitioning

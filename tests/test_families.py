@@ -88,6 +88,23 @@ def test_self_query_found_by_partition_families(built):
         assert hits and hits[0]["distance"] < 1e-3, fam
 
 
+def test_lsh_overflow_is_accounted():
+    """bucket_cap overflow must be disclosed, never silent (the reference
+    keeps every vector — hybrid_lsh.clj:113-129 — so any loss here is a
+    deviation that must be visible in index_info)."""
+    from hnsw_tpu.models.lsh import build_lsh_index
+    # tiny cap forces overflow
+    idx = build_lsh_index(DATA[:500], num_tables=2, num_bits=2, bucket_cap=8)
+    info = idx.index_info()
+    assert info["overflow_dropped_slots"] > 0
+    expected = 500 * 2 - int(np.asarray((idx.buckets >= 0)).sum())
+    assert info["overflow_dropped_slots"] == expected
+    # default sizing must lose nothing
+    idx2 = build_lsh_index(DATA[:500], num_tables=4, num_bits=4)
+    info2 = idx2.index_info()
+    assert info2["overflow_rows_unreachable"] == 0
+
+
 def test_partitioned_empty_partitions_never_return_padding():
     """Regression (ADVICE r1): n < num_partitions leaves empty partitions;
     their entry must stay -1 so the beam never seeds on a padding row and no
