@@ -372,7 +372,11 @@ def _layer_fused(sub: jnp.ndarray, n, *, cap: int, kq: int, metric: Metric,
         start = ti * tile
         q = jax.lax.dynamic_slice_in_dim(sub, start, tile, 0)
         dist = score_tile(q)
-        _, cand = top_k_ascending(dist, kq)
+        d_cand, cand = top_k_ascending(dist, kq)
+        # kq may exceed the real member count (stacked multi-partition
+        # builds share one static kq): BIG-distance slots are padding rows,
+        # not candidates
+        cand = jnp.where(d_cand < BIG, cand, -1)
         selfi = start + jnp.arange(tile, dtype=jnp.int32)
         sel = _select_impl(q, cand, sub, sub_sq, selfi, cap=cap,
                            metric=metric, precision=precision)

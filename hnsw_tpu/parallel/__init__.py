@@ -13,10 +13,13 @@ from hnsw_tpu.parallel.mesh import make_mesh, device_count
 from hnsw_tpu.parallel.sharded import (
     sharded_exact_topk,
     ShardedFlatIndex,
+    ShardedIVFFlat,
     ShardedPartitionedHNSW,
 )
+from hnsw_tpu.parallel.build import build_partitioned_hnsw_sharded
 
 __all__ = [
     "make_mesh", "device_count",
-    "sharded_exact_topk", "ShardedFlatIndex", "ShardedPartitionedHNSW",
+    "sharded_exact_topk", "ShardedFlatIndex", "ShardedIVFFlat",
+    "ShardedPartitionedHNSW", "build_partitioned_hnsw_sharded",
 ]

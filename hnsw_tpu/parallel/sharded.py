@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hnsw_tpu.config import Mode, adaptive_k_per_partition, ef_for
 from hnsw_tpu.models.hnsw.search import hnsw_search_batch
 from hnsw_tpu.ops.distance import BIG, distances_from_dots
-from hnsw_tpu.ops.topk import top_k_ascending
+from hnsw_tpu.ops.topk import dedupe_ascending, top_k_ascending
 from hnsw_tpu.types import Corpus, Metric, round_up
 
 
@@ -145,6 +145,123 @@ def sharded_lloyd_step(mesh: Mesh, vectors, v_sq, valid, centroids, *,
         check_vma=False,
     )
     return fn(vectors, v_sq, valid, centroids)
+
+
+# ---------------------------------------------------------------------------
+# cluster-sharded IVF / Lightning slab scan
+# ---------------------------------------------------------------------------
+
+def _local_ivf(slabs_l, slab_sq_l, slab_rows_l, lens_l, mask_l, queries, *,
+               k, kk, metric, axis):
+    """Per-chip body: scan the local clusters' stacked slabs ([K_loc, cmax,
+    D]) against the whole query batch, keep a running top-kk, then the same
+    ICI all-gather + reselect merge as the flat path. mask_l is the local
+    column block of the [B, K] probe mask."""
+    b = queries.shape[0]
+    cmax = slabs_l.shape[1]
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+
+    def step(carry, c):
+        best_d, best_r = carry
+        local = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
+        valid = (local < lens_l[c]) & (slab_rows_l[c][None, :] >= 0)
+        dots = jnp.dot(queries, slabs_l[c].T,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        dist = distances_from_dots(dots, q_sq, slab_sq_l[c], metric)
+        dist = jnp.where(valid & mask_l[:, c][:, None], dist, BIG)
+        d_all = jnp.concatenate([best_d, dist], axis=-1)
+        r_all = jnp.concatenate(
+            [best_r,
+             jnp.broadcast_to(slab_rows_l[c][None, :], (b, cmax))], axis=-1)
+        dk, sel = top_k_ascending(d_all, kk)
+        return (dk, jnp.take_along_axis(r_all, sel, axis=-1)), None
+
+    init = (jnp.full((b, kk), BIG), jnp.full((b, kk), -1, jnp.int32))
+    (d_loc, r_loc), _ = jax.lax.scan(step, init,
+                                     jnp.arange(slabs_l.shape[0]))
+    all_d = jnp.moveaxis(jax.lax.all_gather(d_loc, axis), 0, 1).reshape(b, -1)
+    all_r = jnp.moveaxis(jax.lax.all_gather(r_loc, axis), 0, 1).reshape(b, -1)
+    dk, rk = dedupe_ascending(all_d, all_r, min(k, all_d.shape[-1]))
+    rk = jnp.where(dk < BIG, rk, -1)
+    if dk.shape[-1] < k:
+        pad = k - dk.shape[-1]
+        dk = jnp.pad(dk, ((0, 0), (0, pad)), constant_values=1e30)
+        rk = jnp.pad(rk, ((0, 0), (0, pad)), constant_values=-1)
+    return dk, rk
+
+
+class ShardedIVFFlat:
+    """An IVF-FLAT (or Lightning) index with its CLUSTER axis laid over the
+    mesh — the distributed form of the reference's probes-across-threads
+    (ivf_flat.clj:281-288). Each chip owns K/D clusters as a stacked
+    [K_loc, cmax, D] slab tensor; a search probes centroids (replicated,
+    tiny), scans local slabs, and merges candidates over ICI."""
+
+    def __init__(self, index, mesh: Optional[Mesh] = None):
+        from hnsw_tpu.parallel.mesh import make_mesh
+        t = index.table
+        self.inner = index
+        self.mesh = mesh or make_mesh()
+        self.axis = self.mesh.axis_names[0]
+        d = int(self.mesh.devices.size)
+        k_parts = t.k_parts
+        self.k_pad = round_up(k_parts, d)
+        cmax = t.cmax
+
+        host_vec = np.asarray(t.vectors)
+        host_sq = np.asarray(t.v_sq)
+        host_perm = np.asarray(t.perm)
+        starts = np.asarray(t.starts)
+        lens = np.asarray(t.lens)
+        slabs = np.zeros((self.k_pad, cmax, host_vec.shape[1]), np.float32)
+        slab_sq = np.zeros((self.k_pad, cmax), np.float32)
+        slab_rows = np.full((self.k_pad, cmax), -1, np.int32)
+        for c in range(k_parts):
+            s, ln = int(starts[c]), int(lens[c])
+            slabs[c, :ln] = host_vec[s:s + ln]
+            slab_sq[c, :ln] = host_sq[s:s + ln]
+            slab_rows[c, :ln] = host_perm[s:s + ln]
+        lens_pad = np.zeros(self.k_pad, np.int32)
+        lens_pad[:k_parts] = lens
+
+        shard = NamedSharding(self.mesh, P(self.axis))
+        self.slabs = jax.device_put(jnp.asarray(slabs), shard)
+        self.slab_sq = jax.device_put(jnp.asarray(slab_sq), shard)
+        self.slab_rows = jax.device_put(jnp.asarray(slab_rows), shard)
+        self.lens = jax.device_put(jnp.asarray(lens_pad), shard)
+
+    @property
+    def corpus(self):
+        return self.inner.corpus
+
+    def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
+                     num_probes: Optional[int] = None):
+        from hnsw_tpu.config import IVF_FLAT_PROBES
+        from hnsw_tpu.models._partition_scan import probe_mask_from_centroids
+        q = self.corpus.pad_queries(queries)
+        t = self.inner.table
+        if num_probes is None:
+            num_probes = IVF_FLAT_PROBES[Mode.coerce(mode)]
+        mask, _ = probe_mask_from_centroids(
+            q, t.centroids, num_probes=min(num_probes, t.k_parts),
+            metric=self.corpus.metric)
+        if self.k_pad > t.k_parts:   # padding clusters are never probed
+            mask = jnp.pad(mask, ((0, 0), (0, self.k_pad - t.k_parts)))
+        # spilled tables store a row in up to two slabs (possibly on
+        # different chips): carry 2k locally so k unique survive the dedupe
+        kk = 2 * k if getattr(self.inner, "spill", 0) else k
+        fn = jax.shard_map(
+            partial(_local_ivf, k=k, kk=kk, metric=self.corpus.metric,
+                    axis=self.axis),
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis),
+                      P(self.axis), P(None, self.axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(self.slabs, self.slab_sq, self.slab_rows, self.lens,
+                  mask, q)
 
 
 # ---------------------------------------------------------------------------

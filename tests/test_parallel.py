@@ -59,6 +59,45 @@ def test_mesh_smaller_than_devices():
     assert np.asarray(r)[0, 0] == 0  # self found
 
 
+def test_sharded_partitioned_build(mesh8):
+    """Index CONSTRUCTION over the mesh: every layer one shard_map dispatch
+    (the distributed form of wip/partitioned.clj:43-102's parallel builds)."""
+    from hnsw_tpu.parallel import build_partitioned_hnsw_sharded
+    data = make_unit(1200, 48, seed=23)
+    idx = build_partitioned_hnsw_sharded(data, num_partitions=8, mesh=mesh8,
+                                         M=8)
+    q = data[:16]
+    d, r = idx.search_batch(q, 10, mode="precise")
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    assert recall_at_k(np.asarray(r), exact) >= 0.9
+    # the stacked arrays are already mesh-sharded: wrapping is free and the
+    # sharded search must agree with the replicated-layout search
+    sharded = ShardedPartitionedHNSW(idx, mesh8)
+    d2, r2 = sharded.search_batch(q, 10, mode="precise")
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(r2))
+
+
+def test_sharded_partitioned_build_divisibility_error(mesh8):
+    from hnsw_tpu.parallel import build_partitioned_hnsw_sharded
+    with pytest.raises(ValueError):
+        build_partitioned_hnsw_sharded(make_unit(100, 32), num_partitions=3,
+                                       mesh=mesh8)
+
+
+def test_sharded_ivf_matches_unsharded(mesh8):
+    """Cluster-sharded IVF slab scan == unsharded grouped/masked scan."""
+    from hnsw_tpu.models import build_ivf_flat_index
+    from hnsw_tpu.parallel import ShardedIVFFlat
+    data = make_unit(900, 48, seed=29)
+    ivf = build_ivf_flat_index(data, num_partitions=24, spill=1)
+    sharded = ShardedIVFFlat(ivf, mesh8)
+    q = data[:16]
+    d1, r1 = ivf.search_batch(q, 10, mode="accurate")
+    d2, r2 = sharded.search_batch(q, 10, mode="accurate")
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+
 def test_sharded_lloyd_matches_single_device(mesh8):
     import jax.numpy as jnp
     from hnsw_tpu.ops.kmeans import lloyd
