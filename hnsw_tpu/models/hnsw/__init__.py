@@ -20,24 +20,34 @@ from hnsw_tpu.models.base import ANNIndex
 from hnsw_tpu.models.common import as_corpus
 from hnsw_tpu.models.hnsw.build import build_graph, insert_wave
 from hnsw_tpu.models.hnsw.graph import HNSWGraph, assign_levels, empty_graph
-from hnsw_tpu.models.hnsw.search import hnsw_search_batch, sample_entries
+from hnsw_tpu.models.hnsw.search import (hnsw_search_batch, pack_neighbors,
+                                         sample_entries)
 from hnsw_tpu.types import Corpus, Metric
 
 
 class HNSWIndex(ANNIndex):
     family = "hnsw"
 
+    # neighborhood-contiguous block packing (see search.pack_neighbors) is
+    # enabled while the duplicated bf16 table fits this budget — beyond it
+    # (~130k rows at 768d, M0=32) the search falls back to row gathers
+    PACK_BYTES_CAP = 6 << 30
+
     def __init__(self, corpus: Corpus, graph: HNSWGraph, *,
                  expand: int = 4, entry_mode: str = "sample",
-                 entry_sample: int = 512, precision: str = "auto"):
+                 entry_sample: int = 512, precision: str = "auto",
+                 pack: str | bool = "auto"):
         super().__init__(corpus)
         self.graph = graph
         self.expand = expand
         self.entry_mode = entry_mode
         self.entry_sample = entry_sample
         self.precision = precision
+        self.pack = pack
         self._sample_rows = None
         self._vec_lp = None
+        self._nbr_pack = None
+        self._nbr_sq = None
 
     def _entry_rows(self) -> jnp.ndarray:
         if self._sample_rows is None or \
@@ -75,12 +85,23 @@ class HNSWIndex(ANNIndex):
         if self._vec_lp is None or \
                 self._vec_lp.shape != self.corpus.vectors.shape:
             self._vec_lp = self.corpus.vectors.astype(jnp.bfloat16)
+        # the pack is a bf16 shadow: full-f32 ("highest") scoring — the
+        # euclidean auto policy — must keep exact row gathers
+        use_pack = precision != "highest" and (self.pack is True or (
+            self.pack == "auto"
+            and self.graph.n_pad * self.graph.m0
+            * (self.corpus.vectors.shape[1] * 2 + 4) <= self.PACK_BYTES_CAP))
+        if use_pack and self._nbr_pack is None:
+            self._nbr_pack, self._nbr_sq = pack_neighbors(
+                self._vec_lp, self.corpus.sq_norms, self.graph.adj0)
         d, r = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
             self.graph.adj0, upper, entries, q,
             k=k, ef=ef, expand=self.expand,
             metric=self.corpus.metric, precision=precision,
             vectors_lp=self._vec_lp,
+            nbr_pack=self._nbr_pack if use_pack else None,
+            nbr_sq=self._nbr_sq if use_pack else None,
         )
         return d, r
 
@@ -105,6 +126,8 @@ class HNSWIndex(ANNIndex):
         self._sample_rows = None   # entry sample must cover the new rows
         self._vec_lp = None        # bf16 shadow must track the new corpus
                                    # (shape alone can't detect same-n_pad adds)
+        self._nbr_pack = None      # adjacency changed: repack on next search
+        self._nbr_sq = None
         new_rows = np.arange(old_n, old_n + w, dtype=np.int32)
         ml = DEFAULTS["ml"]
         new_levels = assign_levels(w, ml, DEFAULTS["seed"] + old_n + seed_offset)

@@ -107,11 +107,22 @@ def hnsw_search_batch(
     metric: Metric = Metric.COSINE,
     precision: str = "default",
     vectors_lp: jnp.ndarray | None = None,  # bf16 shadow for in-loop scoring
+    nbr_pack: jnp.ndarray | None = None,    # [N_pad, M0, D] packed neighbor
+                                            # vectors (see pack_neighbors)
+    nbr_sq: jnp.ndarray | None = None,      # [N_pad, M0] their sq norms
 ):
     """Full hierarchy search. Returns (dists [B, k], rows [B, k]), rows=-1
     for missing. ef is honored exactly (the reference documents ef presets
     but hardcodes ef=max(k,50) — graph.clj:304, SURVEY.md §2.9; we fix that
-    per wip/search_config.clj's documented intent)."""
+    per wip/search_config.clj's documented intent).
+
+    When `nbr_pack`/`nbr_sq` are given, the hop loop gathers ONE contiguous
+    [M0, D] block per expanded node instead of E*M0 scattered corpus rows.
+    TPU row gathers are per-row-overhead bound (~15 ns/row measured — a
+    B=1024, C=128 hop pays ~2 ms of pure gather overhead); block packing
+    trades 2x degree-duplicated HBM for gathers that run at streaming
+    bandwidth. Same idea as DiskANN's neighborhood-contiguous disk layout,
+    applied to HBM."""
     b = queries.shape[0]
     ef = max(ef, k)
     e = min(expand, ef)
@@ -160,7 +171,8 @@ def hnsw_search_batch(
                       & do_sel[:, :, None], axis=1)            # [B, ef]
         beam_exp = beam_exp | hit
 
-        nb = jnp.take(adj0, jnp.maximum(sel_ids, 0), axis=0)   # [B, E, M0]
+        sel_rows = jnp.maximum(sel_ids, 0)
+        nb = jnp.take(adj0, sel_rows, axis=0)                  # [B, E, M0]
         nb = jnp.where((sel_ids >= 0)[:, :, None], nb, -1).reshape(b, c)
         valid = nb >= 0
         valid = _dedupe_row(nb, valid)
@@ -169,8 +181,21 @@ def hnsw_search_batch(
         in_beam = jnp.any(nb[:, :, None] == beam_ids[:, None, :], axis=-1)
         valid = valid & ~in_beam
 
-        d_nb = _score(queries, jnp.maximum(nb, 0), loop_vecs, v_sq, metric,
-                      valid, precision)                        # [B, C]
+        if nbr_pack is not None:
+            blocks = jnp.take(nbr_pack, sel_rows, axis=0)      # [B, E, M0, D]
+            prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                    else None)
+            dots = jnp.einsum(
+                "bd,bemd->bem", queries.astype(blocks.dtype), blocks,
+                preferred_element_type=jnp.float32,
+                precision=prec).reshape(b, c)
+            q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1,
+                           keepdims=True)
+            c_sq = jnp.take(nbr_sq, sel_rows, axis=0).reshape(b, c)
+            d_nb = jnp.where(valid, _dist_bc(dots, q_sq, c_sq, metric), BIG)
+        else:
+            d_nb = _score(queries, jnp.maximum(nb, 0), loop_vecs, v_sq,
+                          metric, valid, precision)            # [B, C]
         all_d = jnp.concatenate([beam_d, d_nb], axis=-1)
         all_i = jnp.concatenate([beam_ids, jnp.where(valid, nb, -1)], axis=-1)
         all_e = jnp.concatenate([beam_exp, jnp.zeros((b, c), bool)], axis=-1)
@@ -192,6 +217,19 @@ def hnsw_search_batch(
         out_i = jnp.take_along_axis(out_i, sel, axis=-1)
         out_i = jnp.where(out_d < BIG, out_i, -1)
     return out_d, out_i
+
+
+@jax.jit
+def pack_neighbors(vectors_lp: jnp.ndarray, v_sq: jnp.ndarray,
+                   adj0: jnp.ndarray):
+    """Materialize the neighborhood-contiguous block table for the hop loop:
+    nbr_pack[i, j] = vectors_lp[adj0[i, j]] and nbr_sq[i, j] = v_sq of the
+    same row (empty slots -> row 0; the search masks them by adj0 < 0).
+    One [N_pad*M0]-row gather at build time buys streaming-bandwidth hops;
+    costs M0 * bytes(vectors_lp) of extra HBM (~1.5 GB at 31k x 768 x M0=32
+    bf16)."""
+    rows = jnp.maximum(adj0, 0)
+    return jnp.take(vectors_lp, rows, axis=0), jnp.take(v_sq, rows, axis=0)
 
 
 @partial(jax.jit, static_argnames=("metric",))
