@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -31,6 +32,12 @@ K = 10
 RECALL_TARGET = 0.98
 BASELINE_QPS = 5376.0     # reference 20-thread peak (README.md:27)
 BASELINE_BUILD_S = 215.0  # reference sequential HNSW build (README.md:245)
+
+# size sweep beyond the reference's published 1k/10k/31k/100k(est) curve
+# (reference README.md:241-249); override with HNSW_TPU_SCALE="n1,n2" or
+# disable with HNSW_TPU_SCALE=""
+SCALE_SIZES = [int(s) for s in os.environ.get(
+    "HNSW_TPU_SCALE", "100000,500000").split(",") if s]
 
 
 def make_corpus(seed=42, n=N, dim=DIM):
@@ -59,6 +66,67 @@ def best_mode(idx, data, exact, modes):
         if r >= RECALL_TARGET:
             return mode, r
     return best
+
+
+def scale_sweep(sizes):
+    """Build + measure the best >=0.98-recall family per corpus size — the
+    scale story (reference README.md:241-249 size sweep; its 100k row is an
+    estimate, ours is measured). Returns {size: {...}}; every size is
+    best-effort (a failure records the error, never kills the headline)."""
+    from hnsw_tpu.bench.harness import (
+        measure_build, run_recall_benchmark, run_search_benchmark,
+    )
+    from hnsw_tpu.models import build_hnsw_index, build_ivf_flat_index
+    from hnsw_tpu.models.flat import FlatIndex
+    from hnsw_tpu.types import Corpus
+
+    out = {}
+    for n in sizes:
+        try:
+            t0 = time.perf_counter()
+            data = make_corpus(seed=7, n=n, dim=DIM)
+            corpus = Corpus.from_array(data)
+            corpus.vectors.block_until_ready()
+            stage_s = time.perf_counter() - t0
+            exact = FlatIndex(corpus)
+            flat_fast = FlatIndex(corpus, precision="bf16")
+            ivf, ivf_s = measure_build(lambda: build_ivf_flat_index(
+                corpus, num_partitions=max(64, int(n ** 0.5)), spill=1))
+            hnsw, hnsw_s = measure_build(
+                lambda: build_hnsw_index(corpus, M=16))
+            qb = data[:1024]
+            entry = {"stage_seconds": round(stage_s, 1),
+                     "ivf_build_seconds": round(ivf_s, 2),
+                     "hnsw_build_seconds": round(hnsw_s, 2),
+                     "families": {}}
+            for name, idx, modes in [
+                ("flat_bf16_pallas", flat_fast, ["balanced"]),
+                ("ivf_flat", ivf, ["fast", "balanced", "accurate",
+                                   "precise"]),
+                ("hnsw", hnsw, ["fast", "balanced", "accurate"]),
+            ]:
+                mode, recall = best_mode(idx, data, exact, modes)
+                perf = run_search_benchmark(
+                    idx, qb, k=K, mode=mode, batch_size=1024, warmup=2,
+                    iters=6, single_query_iters=5)
+                entry["families"][name] = {
+                    "mode": str(mode),
+                    "recall_at_10": round(float(recall), 4),
+                    "qps_device": round(perf.get("qps_device") or 0.0, 1),
+                    "qps_dispatched": round(perf["qps_batched"], 1),
+                }
+            fams = entry["families"]
+            ok = {f: v for f, v in fams.items()
+                  if v["recall_at_10"] >= RECALL_TARGET
+                  and v["qps_device"] > 0}
+            if ok:
+                best = max(ok, key=lambda f: ok[f]["qps_device"])
+                entry["best_family"] = best
+                entry["best_qps_device"] = ok[best]["qps_device"]
+            out[str(n)] = entry
+        except Exception as e:  # record, keep benching other sizes
+            out[str(n)] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def main():
@@ -132,6 +200,8 @@ def main():
     head = results[headline_family]
     qps = head["qps_device"] or head["qps_dispatched"]
 
+    scale = scale_sweep(SCALE_SIZES) if SCALE_SIZES else {}
+
     print(json.dumps({
         "metric": "qps_per_chip_at_recall@10>=0.98_31173x768",
         "value": qps,
@@ -144,6 +214,7 @@ def main():
         "hnsw_build_seconds_cold_incl_compile": round(build_cold_s, 3),
         "ivf_build_seconds": round(ivf_build_s, 3),
         "families": results,
+        "scale": scale,
     }))
 
 

@@ -165,6 +165,274 @@ def supported(k: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# bucketed-selection variant: the k sequential min-sweeps above cost ~4x the
+# MXU time on the VPU (measured ~25% MFU). This kernel instead keeps, per
+# query, the best TWO rows of each of KPAD strided buckets (bucket = row id
+# mod KPAD) — a one-pass tree reduction — and extracts the exact top-k from
+# the [B, 2*KPAD] bucket banks outside the kernel with one small top_k.
+# A true top-k row is lost only when >= 3 of the top-k collide in one bucket
+# (P ~ C(k,3)/KPAD^2 ~ 1e-3 per query at k=10), the same guarantee family as
+# lax.approx_min_k's PartialReduce. Scoring uses a per-query MONOTONE key
+# (cosine: -dots/|v|; l2: |v|^2-2*dots) so the in-loop epilogue is one
+# multiply instead of mul+max+sqrt+div; exact distances are reconstructed
+# from the key outside.
+# ---------------------------------------------------------------------------
+
+def _bucket_min2(key, rows, g: int, c: int):
+    """Per-bucket (best, second-best) of key [BT, g*c] with payload rows.
+    Bucket b holds lanes {b, c+b, 2c+b, ...}. Returns d1,r1,d2,r2 [BT, c]."""
+    bt = key.shape[0]
+    k3 = key.reshape(bt, g, c)
+    r3 = rows.reshape(bt, g, c)
+    d1 = jnp.min(k3, axis=1)                                   # [BT, c]
+    is1 = k3 == d1[:, None, :]
+    r1 = jnp.min(jnp.where(is1, r3, INT_BIG), axis=1)
+    killed = r3 == r1[:, None, :]          # row ids unique within a tile
+    k3b = jnp.where(killed, BIG, k3)
+    d2 = jnp.min(k3b, axis=1)
+    is2 = k3b == d2[:, None, :]
+    r2 = jnp.min(jnp.where(is2, r3, INT_BIG), axis=1)
+    r1 = jnp.where(r1 == INT_BIG, -1, r1)
+    r2 = jnp.where(r2 == INT_BIG, -1, r2)
+    return d1, r1, d2, r2
+
+
+def _merge_pair2(a1, ai1, a2, ai2, b1, bi1, b2, bi2):
+    """Merge two per-bucket sorted pairs: smallest two of {a1,a2,b1,b2}
+    (a1<=a2, b1<=b2), elementwise. ~8 VPU ops on [BT, c]."""
+    a_first = a1 <= b1
+    n1 = jnp.where(a_first, a1, b1)
+    ni1 = jnp.where(a_first, ai1, bi1)
+    mid = jnp.where(a_first, b1, a1)       # loser of the first comparison
+    mi = jnp.where(a_first, bi1, ai1)
+    o2 = jnp.minimum(a2, b2)
+    oi2 = jnp.where(a2 <= b2, ai2, bi2)
+    n2 = jnp.where(mid <= o2, mid, o2)
+    ni2 = jnp.where(mid <= o2, mi, oi2)
+    return n1, ni1, n2, ni2
+
+
+def _make_kernel_bucketed(nt: int, metric: Metric):
+    c = KPAD
+    g = nt // c
+
+    def kernel(n_ref, q_ref, v_ref, vkey_ref, outd_ref, outi_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            outd_ref[:] = jnp.full(outd_ref.shape, BIG, jnp.float32)
+            outi_ref[:] = jnp.full(outi_ref.shape, -1, jnp.int32)
+
+        dots = jnp.dot(q_ref[:], v_ref[:].T,
+                       preferred_element_type=jnp.float32)     # [BT, NT]
+        vkey = vkey_ref[:].reshape(1, nt)
+        if metric == Metric.COSINE:
+            # vkey = 1/max(|v|, eps): order of 1 - dots/(|q||v|) per query
+            # == order of -dots/|v| (|q| constant along the row)
+            key = -dots * vkey
+        elif metric == Metric.EUCLIDEAN:
+            # vkey = |v|^2: order of |q|^2+|v|^2-2 dots == order of this
+            key = vkey - 2.0 * dots
+        else:                                # DOT: maximize dots
+            key = -dots
+        base = ti * nt
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+        key = jnp.where(rows < n_ref[0], key, BIG)
+
+        t1, tr1, t2, tr2 = _bucket_min2(key, rows, g, c)
+        n1, ni1, n2, ni2 = _merge_pair2(
+            outd_ref[:, :c], outi_ref[:, :c],
+            outd_ref[:, c:], outi_ref[:, c:],
+            t1, tr1, t2, tr2)
+        outd_ref[:, :c] = n1
+        outd_ref[:, c:] = n2
+        outi_ref[:, :c] = ni1
+        outi_ref[:, c:] = ni2
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "bt", "nt", "interpret"))
+def pallas_bucket_topk(
+    vectors: jnp.ndarray,   # [N_pad, D] (bf16; N_pad % nt == 0)
+    v_sq: jnp.ndarray,      # [N_pad] f32 squared norms
+    queries: jnp.ndarray,   # [B, D] (bf16; B % bt == 0)
+    n,                      # valid row count (traced)
+    *,
+    k: int,
+    metric: Metric,
+    bt: int = DEFAULT_BT,
+    nt: int = DEFAULT_NT,
+    interpret: bool = False,
+):
+    """Bucketed fused scan. Returns (dists f32[B, k], rows int32[B, k]);
+    top-k is exact up to 3-way bucket collisions (see module comment)."""
+    n_pad, d = vectors.shape
+    b = queries.shape[0]
+    assert n_pad % nt == 0 and b % bt == 0, (n_pad, nt, b, bt)
+    n_arr = jnp.full((1,), n, jnp.int32)
+    if metric == Metric.COSINE:
+        vkey = 1.0 / jnp.sqrt(jnp.maximum(v_sq, 1e-12))
+    elif metric == Metric.EUCLIDEAN:
+        vkey = v_sq
+    else:
+        vkey = jnp.zeros_like(v_sq)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bt, n_pad // nt),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((nt, d), lambda bi, ti, n_ref: (ti, 0)),
+            pl.BlockSpec((nt,), lambda bi, ti, n_ref: (ti,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, 2 * KPAD), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((bt, 2 * KPAD), lambda bi, ti, n_ref: (bi, 0)),
+        ],
+    )
+    bank_d, bank_r = pl.pallas_call(
+        _make_kernel_bucketed(nt, metric),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2 * KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2 * KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_arr, queries, vectors, v_sq if metric != Metric.COSINE else vkey)
+
+    # exact top-k over the 2*KPAD bucket banks (tiny), then reconstruct true
+    # distances from the monotone key
+    from hnsw_tpu.ops.topk import top_k_ascending
+    dk, sel = top_k_ascending(bank_d, min(k, bank_d.shape[-1]))
+    rk = jnp.take_along_axis(bank_r, sel, axis=-1)
+    q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    if metric == Metric.COSINE:
+        dist = 1.0 + dk / jnp.sqrt(jnp.maximum(q_sq, 1e-12))
+    elif metric == Metric.EUCLIDEAN:
+        dist = jnp.sqrt(jnp.maximum(dk + q_sq, 0.0))
+    else:
+        dist = dk
+    ok = (dk < BIG) & (rk >= 0)
+    dist = jnp.where(ok, dist, BIG)
+    rk = jnp.where(ok, rk, -1)
+    if dist.shape[-1] < k:
+        pad = k - dist.shape[-1]
+        dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=BIG)
+        rk = jnp.pad(rk, ((0, 0), (0, pad)), constant_values=-1)
+    return dist, rk
+
+
+def _make_kernel_int8_bucketed(nt: int, metric: Metric):
+    """int8 twin of the bucketed kernel. Per-query monotone key folds the
+    (positive) per-query dequant scale out entirely: cosine ranks by
+    -dots_i32 * (vscale/|v|), l2 by |v|^2 - 2*qscale*vscale*dots — the
+    qscale multiply only matters for l2, where it rides the [NT] vector."""
+    c = KPAD
+    g = nt // c
+
+    def kernel(n_ref, q_ref, qmeta_ref, v_ref, vkey_ref, vscale_ref,
+               outd_ref, outi_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            outd_ref[:] = jnp.full(outd_ref.shape, BIG, jnp.float32)
+            outi_ref[:] = jnp.full(outi_ref.shape, -1, jnp.int32)
+
+        dots = jnp.dot(q_ref[:], v_ref[:].T,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        vkey = vkey_ref[:].reshape(1, nt)
+        if metric == Metric.COSINE:
+            key = -dots * vkey                  # vkey = vscale / max(|v|,eps)
+        elif metric == Metric.EUCLIDEAN:
+            qscale = qmeta_ref[:, 0:1]          # [BT, 1]
+            vs = vscale_ref[:].reshape(1, nt)
+            key = vkey - 2.0 * qscale * vs * dots       # vkey = |v|^2
+        else:
+            key = -dots * vkey                  # vkey = vscale
+        base = ti * nt
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+        key = jnp.where(rows < n_ref[0], key, BIG)
+
+        t1, tr1, t2, tr2 = _bucket_min2(key, rows, g, c)
+        n1, ni1, n2, ni2 = _merge_pair2(
+            outd_ref[:, :c], outi_ref[:, :c],
+            outd_ref[:, c:], outi_ref[:, c:],
+            t1, tr1, t2, tr2)
+        outd_ref[:, :c] = n1
+        outd_ref[:, c:] = n2
+        outi_ref[:, :c] = ni1
+        outi_ref[:, c:] = ni2
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "bt", "nt", "interpret"))
+def pallas_int8_bucket_topk(
+    v8: jnp.ndarray,        # int8 [N_pad, D]
+    vscale: jnp.ndarray,    # f32 [N_pad] per-row dequant scale
+    v_sq: jnp.ndarray,      # f32 [N_pad] exact squared norms
+    q8: jnp.ndarray,        # int8 [B, D]
+    qmeta: jnp.ndarray,     # f32 [B, 2]: (dequant scale, exact |q|^2)
+    n,
+    *,
+    k: int,
+    metric: Metric,
+    bt: int = DEFAULT_BT,
+    nt: int = DEFAULT_NT,
+    interpret: bool = False,
+):
+    """Bucketed quantized coarse scan: returns approximate CANDIDATE rows
+    [B, k] (distances are coarse keys; callers re-rank exactly)."""
+    n_pad, d = v8.shape
+    b = q8.shape[0]
+    assert n_pad % nt == 0 and b % bt == 0, (n_pad, nt, b, bt)
+    n_arr = jnp.full((1,), n, jnp.int32)
+    if metric == Metric.COSINE:
+        vkey = vscale / jnp.sqrt(jnp.maximum(v_sq, 1e-12))
+    elif metric == Metric.EUCLIDEAN:
+        vkey = v_sq
+    else:
+        vkey = vscale
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bt, n_pad // nt),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((bt, 2), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((nt, d), lambda bi, ti, n_ref: (ti, 0)),
+            pl.BlockSpec((nt,), lambda bi, ti, n_ref: (ti,)),
+            pl.BlockSpec((nt,), lambda bi, ti, n_ref: (ti,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, 2 * KPAD), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((bt, 2 * KPAD), lambda bi, ti, n_ref: (bi, 0)),
+        ],
+    )
+    bank_d, bank_r = pl.pallas_call(
+        _make_kernel_int8_bucketed(nt, metric),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2 * KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2 * KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_arr, q8, qmeta, v8, vkey, vscale)
+
+    from hnsw_tpu.ops.topk import top_k_ascending
+    dk, sel = top_k_ascending(bank_d, min(k, bank_d.shape[-1]))
+    rk = jnp.take_along_axis(bank_r, sel, axis=-1)
+    rk = jnp.where((dk < BIG) & (rk >= 0), rk, -1)
+    if rk.shape[-1] < k:
+        rk = jnp.pad(rk, ((0, 0), (0, k - rk.shape[-1])), constant_values=-1)
+        dk = jnp.pad(dk, ((0, 0), (0, k - dk.shape[-1])), constant_values=BIG)
+    return dk, rk
+
+
+# ---------------------------------------------------------------------------
 # int8 variant: quantized coarse scan (scores = int8 MXU dots dequantized
 # with per-row scales; exact norms supplied separately)
 # ---------------------------------------------------------------------------

@@ -92,3 +92,19 @@ def test_timer_utils():
     with timed("x", out):
         pass
     assert out[0][0] == "x"
+
+
+def test_cache_scrub_removes_corrupt_entries(tmp_path):
+    """A killed process can truncate a compile-cache write; the scrub must
+    drop exactly the corrupt entries (BENCH_r01 showed a ZstdError poisoning
+    'jit_scanned' reads across processes)."""
+    import zstandard as zstd
+    from hnsw_tpu.utils.cache import scrub_compilation_cache
+
+    good = tmp_path / "jit_good-cache"
+    good.write_bytes(zstd.ZstdCompressor().compress(b"hello" * 100))
+    bad = tmp_path / "jit_bad-cache"
+    bad.write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 32)  # truncated frame
+    removed = scrub_compilation_cache(str(tmp_path))
+    assert removed == 1
+    assert good.exists() and not bad.exists()

@@ -95,3 +95,65 @@ def test_multiple_query_tiles():
     assert recall_at_k(np.asarray(r), exact) >= 0.99
     # each query's own row is its nearest
     np.testing.assert_array_equal(np.asarray(r)[:, 0], np.arange(256))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
+def test_bucketed_matches_bruteforce(metric):
+    from hnsw_tpu.ops.pallas_scan import pallas_bucket_topk
+
+    data = make_unit(1000, 64, seed=81)
+    c = Corpus.from_array(data, metric=metric)
+    n_pad = 1024
+    vec = jnp.zeros((n_pad, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vsq = jnp.zeros((n_pad,)).at[: c.n_pad].set(c.sq_norms)
+    q = c.pad_queries(data[:128])
+    d, r = pallas_bucket_topk(vec, vsq, q, c.n, k=10,
+                              metric=Metric(metric), bt=128, nt=256,
+                              interpret=True)
+    _, exact = brute_force_knn(data, data[:128], 10, metric)
+    assert recall_at_k(np.asarray(r), exact) >= 0.98
+    d = np.asarray(d)
+    assert (np.diff(d, axis=1) >= -1e-5).all()          # ascending
+    r = np.asarray(r)
+    assert (r < 1000).all() and (r >= 0).all()          # no padding leaked
+    # reconstructed distances match exact f32 distances closely
+    de, _ = brute_force_knn(data, data[:128], 10, metric)
+    assert np.abs(d[:, 0] - de[:, 0]).max() < 1e-2
+
+
+def test_bucketed_k_greater_than_valid_rows():
+    from hnsw_tpu.ops.pallas_scan import pallas_bucket_topk
+
+    data = make_unit(6, 16, seed=83)
+    c = Corpus.from_array(data)
+    vec = jnp.zeros((256, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vsq = jnp.zeros((256,)).at[: c.n_pad].set(c.sq_norms)
+    q = jnp.tile(c.pad_queries(data[:1]), (128, 1))
+    d, r = pallas_bucket_topk(vec, vsq, q, c.n, k=10, metric=Metric.COSINE,
+                              bt=128, nt=256, interpret=True)
+    r = np.asarray(r)
+    assert (r[0, :6] >= 0).all()
+    assert (r[0, 6:] == -1).all()
+
+
+def test_int8_bucketed_candidates():
+    from hnsw_tpu.ops.pallas_scan import pallas_int8_bucket_topk
+
+    data = make_unit(600, 64, seed=87)
+    c = Corpus.from_array(data)
+    n_pad = 1024
+    v = jnp.zeros((n_pad, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-12)
+    vscale = vmax / 127.0
+    v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
+    vsq = jnp.zeros((n_pad,)).at[: c.n_pad].set(c.sq_norms)
+    qf = c.pad_queries(data[:128])
+    qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                         1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+    qmeta = jnp.concatenate([qscale, jnp.sum(qf * qf, 1, keepdims=True)], 1)
+    d, r = pallas_int8_bucket_topk(v8, vscale[:, 0], vsq, q8, qmeta, c.n,
+                                   k=20, metric=Metric.COSINE, bt=128,
+                                   nt=256, interpret=True)
+    _, exact = brute_force_knn(data, data[:128], 10, "cosine")
+    assert recall_at_k(np.asarray(r), exact) >= 0.98
