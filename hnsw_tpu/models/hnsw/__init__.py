@@ -157,6 +157,7 @@ class HNSWIndex(ANNIndex):
                 "M": g.m, "M0": g.m0, "ef_construction": g.ef_construction,
                 "entry": int(g.entry), "max_level": int(g.max_level),
                 "n": int(g.n), "expand": self.expand,
+                "n_bridges": int(g.n_bridges),
             },
             "arrays": {
                 "levels": np.asarray(g.levels),
@@ -175,6 +176,7 @@ class HNSWIndex(ANNIndex):
             entry=int(p["entry"]), max_level=int(p["max_level"]),
             m=int(p["M"]), m0=int(p["M0"]),
             ef_construction=int(p["ef_construction"]), n=int(p["n"]),
+            n_bridges=int(p.get("n_bridges", 0)),
         )
         return cls(corpus, graph, expand=int(p.get("expand", 4)))
 

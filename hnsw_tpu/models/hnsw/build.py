@@ -502,6 +502,30 @@ def build_graph(
     else:
         entry = NONE
 
+    # Connectivity repair: exact-kNN construction leaves clustered corpora
+    # as one high-quality graph PER cluster with no inter-cluster edges
+    # (measured: 964/31,173 rows BFS-reachable on a 64-cluster corpus,
+    # capping recall at ~0.97). The reference's sequential insert never hits
+    # this (early inserts wire across the whole corpus); a batch builder
+    # must bridge explicitly. See repair.py.
+    n_bridges = 0
+    if n > 1:
+        _tick("repair", 0.0)
+        from hnsw_tpu.models.hnsw.repair import bridge_components
+        adj0[:n], nb = bridge_components(
+            corpus.vectors, corpus.sq_norms, adj0[:n],
+            np.arange(n, dtype=np.int32), metric=metric, seed=seed)
+        n_bridges += nb
+        for l in range(1, max_level + 1):
+            members = np.nonzero(levels_np >= l)[0].astype(np.int32)
+            if len(members) <= 1:
+                continue
+            adj_upper[l - 1, members], nb = bridge_components(
+                corpus.vectors, corpus.sq_norms, adj_upper[l - 1, members],
+                members, metric=metric, seed=seed)
+            n_bridges += nb
+        _tick("repair", 1.0)
+
     return HNSWGraph(
         levels=jnp.asarray(levels),
         adj0=jnp.asarray(adj0),
@@ -511,6 +535,7 @@ def build_graph(
         m=m, m0=m0,
         ef_construction=ef_construction,
         n=n,
+        n_bridges=n_bridges,
     )
 
 
@@ -669,4 +694,5 @@ def insert_wave(
         m=graph.m, m0=graph.m0,
         ef_construction=graph.ef_construction,
         n=int(graph.n + w),
+        n_bridges=graph.n_bridges,
     )

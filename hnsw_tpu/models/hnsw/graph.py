@@ -35,6 +35,7 @@ class HNSWGraph:
     m0: int                   # layer-0 degree cap (2M)
     ef_construction: int
     n: int                    # real node count
+    n_bridges: int = 0        # connectivity-repair edges added (repair.py)
 
     @property
     def n_pad(self) -> int:
@@ -53,6 +54,7 @@ class HNSWGraph:
             "M0": self.m0,
             "ef_construction": self.ef_construction,
             "avg_connections_l0": float(deg.mean()) if self.n else 0.0,
+            "bridge_edges": int(self.n_bridges),
             "level_histogram": {int(l): int(c) for l, c in
                                 zip(*np.unique(levels, return_counts=True))},
         }
