@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from hnsw_tpu.ops.distance import BIG, _dist_bc
-from hnsw_tpu.ops.sort import bitonic_topk
+from hnsw_tpu.ops.sort import bitonic_topk_presorted
 from hnsw_tpu.ops.topk import top_k_ascending
 from hnsw_tpu.types import Metric
 
@@ -44,22 +44,32 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _beam_merge(all_d, all_i, all_e, ef: int):
+def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int):
     """Top-ef merge of [beam ++ candidates] carrying (id, expanded) payload.
+    Candidates are fresh (never expanded); the beam is ascending-sorted (the
+    invariant every merge re-establishes).
 
     On TPU, XLA lowers lax.top_k/sort over [B, few-hundred] slices to a
     serialized per-slice sort that runs ~40x below VPU speed-of-light
     (measured 2.1 ms for [1024, 228]); the batched bitonic network in
     ops/sort.py performs the same merge as static lane permutations +
-    elementwise min/max (~17x per-hop speedup end-to-end). The CPU test
-    backend is the opposite — its native top_k beats the emitted
-    O(n log^2 n) network — so backend selection happens at trace time.
-    The expanded flag rides in the payload's low bit; -1 ids map to -2/-1
-    payloads whose arithmetic >>1 restores -1."""
+    elementwise min/max (~17x per-hop speedup end-to-end) — and because the
+    beam is presorted, only the candidates need the full network before a
+    single merge phase (bitonic_topk_presorted). The CPU test backend is
+    the opposite — its native top_k beats the emitted O(n log^2 n) network
+    — so backend selection happens at trace time. The expanded flag rides
+    in the payload's low bit; -1 ids map to -2/-1 payloads whose arithmetic
+    >>1 restores -1."""
     if jax.default_backend() == "tpu":
-        payload = (all_i << 1) | all_e.astype(jnp.int32)
-        kd, kv = bitonic_topk(all_d, payload, ef)
+        pay_beam = (beam_i << 1) | beam_e.astype(jnp.int32)
+        pay_cand = cand_i << 1
+        kd, kv = bitonic_topk_presorted(beam_d, pay_beam, cand_d, pay_cand,
+                                        ef)
         return kd, kv >> 1, (kv & 1) == 1
+    all_d = jnp.concatenate([beam_d, cand_d], axis=-1)
+    all_i = jnp.concatenate([beam_i, cand_i], axis=-1)
+    all_e = jnp.concatenate(
+        [beam_e, jnp.zeros(cand_d.shape, bool)], axis=-1)
     kd, sel = top_k_ascending(all_d, ef)
     return (kd, jnp.take_along_axis(all_i, sel, axis=-1),
             jnp.take_along_axis(all_e, sel, axis=-1))
@@ -225,10 +235,8 @@ def hnsw_search_batch(
         else:
             d_nb = _score(queries, jnp.maximum(nb, 0), loop_vecs, v_sq,
                           metric, valid, precision)            # [B, C]
-        all_d = jnp.concatenate([beam_d, d_nb], axis=-1)
-        all_i = jnp.concatenate([beam_ids, jnp.where(valid, nb, -1)], axis=-1)
-        all_e = jnp.concatenate([beam_exp, jnp.zeros((b, c), bool)], axis=-1)
-        beam_d, beam_ids, beam_exp = _beam_merge(all_d, all_i, all_e, ef)
+        beam_d, beam_ids, beam_exp = _beam_merge(
+            beam_d, beam_ids, beam_exp, d_nb, jnp.where(valid, nb, -1), ef)
         return beam_d, beam_ids, beam_exp, active, hop + 1
 
     state = (beam_d, beam_ids, beam_exp, jnp.ones((b,), bool), jnp.int32(0))

@@ -92,6 +92,33 @@ def bitonic_topk(keys: jnp.ndarray, vals: jnp.ndarray, k: int):
     return keys[..., :k], vals[..., :k]
 
 
+@partial(jax.jit, static_argnames=("k",))
+def bitonic_topk_presorted(keys_a, vals_a, keys_b, vals_b, k: int):
+    """Smallest-k of [sorted run a ++ unsorted b] with payload.
+
+    The HNSW beam merge shape: `a` (the beam) is already ascending from the
+    previous merge, only `b` (the hop candidates) is unsorted. Sorting just
+    b (log^2|b| stages over |b| lanes) and then one bitonic merge phase
+    (log(2L)+1 stages over 2L lanes) does ~1.6x less lane-work than the full
+    sort bitonic_topk runs over the concatenation. Both runs pad to a common
+    power-of-two length with +inf keys / -1 payloads."""
+    big = jnp.asarray(jnp.inf, keys_a.dtype)
+    keys_a, vals_a = _pad_pow2(keys_a, vals_a, big)
+    keys_b, vals_b = _pad_pow2(keys_b, vals_b, big)
+    n = max(keys_a.shape[-1], keys_b.shape[-1])
+
+    def grow(kx, vx):
+        pad = [(0, 0)] * (kx.ndim - 1) + [(0, n - kx.shape[-1])]
+        return (jnp.pad(kx, pad, constant_values=big),
+                jnp.pad(vx, pad, constant_values=-1))
+
+    keys_a, vals_a = grow(keys_a, vals_a)
+    keys_b, vals_b = grow(keys_b, vals_b)
+    keys_b, vals_b = bitonic_sort_kv(keys_b, vals_b)
+    mk, mv = bitonic_merge_sorted(keys_a, vals_a, keys_b, vals_b)
+    return mk[..., :k], mv[..., :k]
+
+
 @partial(jax.jit, static_argnames=())
 def bitonic_merge_sorted(keys_a, vals_a, keys_b, vals_b):
     """Merge two ascending-sorted runs of equal power-of-two length L into

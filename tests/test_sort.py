@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hnsw_tpu.ops.sort import bitonic_merge_sorted, bitonic_sort_kv, bitonic_topk
+from hnsw_tpu.ops.sort import (bitonic_merge_sorted, bitonic_sort_kv,
+                               bitonic_topk, bitonic_topk_presorted)
 
 
 @pytest.mark.parametrize("length", [8, 64, 256])
@@ -37,6 +38,32 @@ def test_bitonic_topk_non_pow2_with_ties():
         assert len(set(vk[b])) == 10
         for k, v in zip(dk[b], vk[b]):
             assert keys[b, v] == k
+
+
+@pytest.mark.parametrize("na,nb", [(100, 128), (128, 128), (228, 96)])
+def test_bitonic_topk_presorted_matches_full(na, nb):
+    """The beam-merge shape: run a presorted (with -1 sentinels at BIG keys,
+    as the beam carries), run b unsorted; result must equal a full top-k of
+    the concatenation."""
+    rng = np.random.default_rng(3)
+    a = np.sort(rng.standard_normal((8, na)).astype(np.float32), axis=-1)
+    a[:, -5:] = 1e30                      # empty beam slots
+    va = rng.integers(0, 1 << 20, (8, na)).astype(np.int32)
+    va[:, -5:] = -1
+    b = rng.standard_normal((8, nb)).astype(np.float32)
+    vb = rng.integers(0, 1 << 20, (8, nb)).astype(np.int32)
+    k = 32
+    dk, vk = bitonic_topk_presorted(jnp.asarray(a), jnp.asarray(va),
+                                    jnp.asarray(b), jnp.asarray(vb), k)
+    dk, vk = np.asarray(dk), np.asarray(vk)
+    allk = np.concatenate([a, b], axis=-1)
+    ref = np.sort(allk, axis=-1)[:, :k]
+    np.testing.assert_allclose(dk, ref)
+    for r in range(8):
+        want = {(x, y) for x, y in zip(allk[r], np.concatenate([va[r],
+                                                                vb[r]]))}
+        for x, y in zip(dk[r], vk[r]):
+            assert (x, y) in want, (r, x, y)
 
 
 def test_bitonic_merge_sorted_runs():
