@@ -99,8 +99,13 @@ def run_search_benchmark(
     # device-sustained throughput: run many batches inside ONE jitted scan,
     # so per-dispatch overhead (notably remote-relay RTT in tunneled dev
     # setups) is excluded — this is the chip's serving throughput with a
-    # colocated host
+    # colocated host. Hop-loop indexes (HNSW-family while_loop programs)
+    # opt out via qps_scan_safe=False: the scan-wrapped while_loop HLO has
+    # crashed the relay's remote compiler (broken pipe), and a dead relay
+    # kills every subsequent dispatch in the process — for those the
+    # async-pipelined slope below is the sustained number instead.
     qps_device = None
+    use_scan = getattr(index, "qps_scan_safe", True)
     try:
         import jax
 
@@ -128,9 +133,28 @@ def run_search_benchmark(
             v = float(scanned(stacked))       # full value fetch: true sync
             return time.perf_counter() - t0
 
-        lo, hi = 4, max(4 * iters, 24)
-        t_lo = run_timed(lo)
-        t_hi = run_timed(hi)
+        def run_pipelined(m):
+            # async dispatch pipeline against the ALREADY-COMPILED direct
+            # program: per-call dispatch (~2 ms on the relay) overlaps with
+            # device compute, so for compute-bound batches the slope is the
+            # device time per batch; one final value fetch is the barrier
+            for _ in range(2):
+                d, r = search(batch, k, mode)
+            _block(d)
+            t0 = time.perf_counter()
+            for _ in range(m):
+                d, r = search(batch, k, mode)
+            _block(d)
+            return time.perf_counter() - t0
+
+        if use_scan:
+            lo, hi = 4, max(4 * iters, 24)
+            t_lo = run_timed(lo)
+            t_hi = run_timed(hi)
+        else:
+            lo, hi = 8, max(8 * iters, 48)
+            t_lo = run_pipelined(lo)
+            t_hi = run_pipelined(hi)
         # slope removes fixed dispatch/roundtrip overhead
         per_batch = (t_hi - t_lo) / (hi - lo)
         if per_batch <= 0:

@@ -28,6 +28,11 @@ from hnsw_tpu.types import Corpus, Metric
 class HNSWIndex(ANNIndex):
     family = "hnsw"
 
+    # scan-wrapping the hop loop's while_loop program has crashed the dev
+    # relay's remote compiler; the bench harness measures sustained QPS for
+    # this family with an async dispatch pipeline instead (bench/harness.py)
+    qps_scan_safe = False
+
     # neighborhood-contiguous block packing (see search.pack_neighbors) is
     # enabled while the duplicated bf16 table fits this budget — beyond it
     # (~130k rows at 768d, M0=32) the search falls back to row gathers

@@ -130,7 +130,7 @@ def _dedupe_row(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k", "ef", "expand", "max_hops", "metric",
-                                   "precision"))
+                                   "precision", "debug_hops"))
 def hnsw_search_batch(
     vectors: jnp.ndarray,     # [N_pad, D]
     v_sq: jnp.ndarray,        # [N_pad]
@@ -149,6 +149,7 @@ def hnsw_search_batch(
     nbr_pack: jnp.ndarray | None = None,    # [N_pad, M0, D] packed neighbor
                                             # vectors (see pack_neighbors)
     nbr_sq: jnp.ndarray | None = None,      # [N_pad, M0] their sq norms
+    debug_hops: bool = False,               # also return the hop count taken
 ):
     """Full hierarchy search. Returns (dists [B, k], rows [B, k]), rows=-1
     for missing. ef is honored exactly (the reference documents ef presets
@@ -240,7 +241,7 @@ def hnsw_search_batch(
         return beam_d, beam_ids, beam_exp, active, hop + 1
 
     state = (beam_d, beam_ids, beam_exp, jnp.ones((b,), bool), jnp.int32(0))
-    beam_d, beam_ids, _, _, _ = jax.lax.while_loop(cond, body, state)
+    beam_d, beam_ids, _, _, hops = jax.lax.while_loop(cond, body, state)
 
     out_d = beam_d[:, :k]
     out_i = jnp.where(out_d < BIG, beam_ids[:, :k], -1)
@@ -251,6 +252,8 @@ def hnsw_search_batch(
         out_d, sel = top_k_ascending(out_d, k)
         out_i = jnp.take_along_axis(out_i, sel, axis=-1)
         out_i = jnp.where(out_d < BIG, out_i, -1)
+    if debug_hops:
+        return out_d, out_i, hops
     return out_d, out_i
 
 

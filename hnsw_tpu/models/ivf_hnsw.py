@@ -36,6 +36,8 @@ from hnsw_tpu.types import Corpus, Metric
 class IVFHNSWIndex(ANNIndex):
     family = "ivf_hnsw"
 
+    qps_scan_safe = False  # hop-loop program: see bench/harness.py
+
     def __init__(self, corpus: Corpus, *, centroids, medoids, adj0,
                  num_partitions: int, m: int, seed: int = 42):
         super().__init__(corpus)

@@ -36,6 +36,8 @@ from hnsw_tpu.types import Corpus, Metric, round_up
 class PartitionedHNSWIndex(ANNIndex):
     family = "partitioned_hnsw"
 
+    qps_scan_safe = False  # hop-loop program: see bench/harness.py
+
     def __init__(self, corpus: Corpus, *, num_partitions: int,
                  vectors_p, v_sq_p, rows_p, adj0_p, adj_upper_p, entries_p,
                  m: int, m0: int, ef_construction: int, seed: int = 42):
