@@ -39,6 +39,12 @@ BASELINE_BUILD_S = 215.0  # reference sequential HNSW build (README.md:245)
 SCALE_SIZES = [int(s) for s in os.environ.get(
     "HNSW_TPU_SCALE", "100000,500000").split(",") if s]
 
+# wall-clock budget for the whole bench run: sizes still pending when the
+# budget is exhausted are recorded as skipped instead of risking an unbounded
+# run on the pool-shared chip (driver runs this unattended at round end)
+BUDGET_S = float(os.environ.get("HNSW_TPU_BENCH_BUDGET_S", "2100"))
+_T0 = time.perf_counter()
+
 
 def make_corpus(seed=42, n=N, dim=DIM):
     # Realistic mpnet-shaped stand-in: unit-normalized, low-rank, Zipf-skewed
@@ -82,6 +88,9 @@ def scale_sweep(sizes):
 
     out = {}
     for n in sizes:
+        if time.perf_counter() - _T0 > BUDGET_S:
+            out[str(n)] = {"skipped": "bench wall-clock budget exhausted"}
+            continue
         try:
             t0 = time.perf_counter()
             data = make_corpus(seed=7, n=n, dim=DIM)
