@@ -84,53 +84,54 @@ def run_search_benchmark(
     qps = b / dt
 
     # single-query latency samples (synchronous per call: true end-to-end
-    # latency including dispatch)
+    # latency including dispatch); single_query_iters=0 skips this — it is
+    # one extra compiled program (b=1) per family/mode, and on a tunneled
+    # dev relay the number is ~all RTT anyway
     lat = []
-    one = batch[:1]
-    for _ in range(3):
-        d, _ = search(one, k, mode)
-    _block(d)
-    for i in range(single_query_iters):
-        t0 = time.perf_counter()
-        d, _ = search(one, k, mode)
+    if single_query_iters > 0:
+        one = batch[:1]
+        for _ in range(3):
+            d, _ = search(one, k, mode)
         _block(d)
-        lat.append((time.perf_counter() - t0) * 1e3)
+        for i in range(single_query_iters):
+            t0 = time.perf_counter()
+            d, _ = search(one, k, mode)
+            _block(d)
+            lat.append((time.perf_counter() - t0) * 1e3)
 
-    # device-sustained throughput: run many batches inside ONE jitted scan,
+    # device-sustained throughput: run many batches inside ONE jitted loop,
     # so per-dispatch overhead (notably remote-relay RTT in tunneled dev
     # setups) is excluded — this is the chip's serving throughput with a
-    # colocated host. Hop-loop indexes (HNSW-family while_loop programs)
-    # opt out via qps_scan_safe=False: the scan-wrapped while_loop HLO has
-    # crashed the relay's remote compiler (broken pipe), and a dead relay
-    # kills every subsequent dispatch in the process — for those the
-    # async-pipelined slope below is the sustained number instead.
+    # colocated host. The repeat count is a TRACED argument (fori_loop with
+    # a dynamic trip bound), so the lo and hi slope points share one
+    # compiled executable of roughly the direct program's size — not the
+    # two stacked-batch lax.scan programs (150-480 MB binaries, one per
+    # length) whose cold compiles blew round 2's bench budget.
+    # Hop-loop indexes (HNSW-family while_loop programs) opt out via
+    # qps_scan_safe=False: loop-wrapped while_loop HLO has crashed the
+    # relay's remote compiler (broken pipe), and a dead relay kills every
+    # subsequent dispatch in the process — for those the async-pipelined
+    # slope below is the sustained number instead.
     qps_device = None
     use_scan = getattr(index, "qps_scan_safe", True)
     try:
         import jax
 
-        def make_scanned(inner):
-            stacked = jnp.broadcast_to(batch, (inner,) + batch.shape)
-            # perturb each batch so no cross-iteration reuse applies; the
-            # perturbation must survive a bf16 cast (fast paths downcast)
-            eps = (jnp.arange(inner, dtype=jnp.float32)[:, None, None]
-                   * 1e-2 / max(inner, 1))
-            stacked = stacked * (1.0 + eps)
-
-            @jax.jit
-            def scanned(qb):
-                def body(carry, q):
-                    d, r = search(q, k, mode)
-                    return carry + d[0, 0] + jnp.float32(r[0, 0]), None
-                acc, _ = jax.lax.scan(body, jnp.float32(0), qb)
-                return acc
-            return scanned, stacked
+        @jax.jit
+        def repeated(qb, n_iters):
+            def body(i, acc):
+                # loop-variant query perturbation: without it the search is
+                # loop-invariant and XLA's LICM computes it once. The factor
+                # must survive a bf16 cast (bf16 ULP near 1.0 is 2^-8), so
+                # use exact multiples of 2^-4
+                scale = 1.0 + (jnp.astype(i % 8, jnp.float32) + 1.0) * 0.0625
+                d, r = search(qb * scale, k, mode)
+                return acc + d[0, 0] + jnp.astype(r[0, 0], jnp.float32)
+            return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
         def run_timed(inner):
-            scanned, stacked = make_scanned(inner)
-            float(scanned(stacked))           # warm + verify
             t0 = time.perf_counter()
-            v = float(scanned(stacked))       # full value fetch: true sync
+            float(repeated(batch, inner))     # full value fetch: true sync
             return time.perf_counter() - t0
 
         def run_pipelined(m):
@@ -138,9 +139,6 @@ def run_search_benchmark(
             # program: per-call dispatch (~2 ms on the relay) overlaps with
             # device compute, so for compute-bound batches the slope is the
             # device time per batch; one final value fetch is the barrier
-            for _ in range(2):
-                d, r = search(batch, k, mode)
-            _block(d)
             t0 = time.perf_counter()
             for _ in range(m):
                 d, r = search(batch, k, mode)
@@ -148,14 +146,19 @@ def run_search_benchmark(
             return time.perf_counter() - t0
 
         if use_scan:
-            lo, hi = 4, max(4 * iters, 24)
-            t_lo = run_timed(lo)
-            t_hi = run_timed(hi)
+            lo, hi = 4, max(2 * iters, 16)
+            float(repeated(batch, 2))         # compile + warm (once)
+            timed = run_timed
         else:
             lo, hi = 8, max(8 * iters, 48)
-            t_lo = run_pipelined(lo)
-            t_hi = run_pipelined(hi)
-        # slope removes fixed dispatch/roundtrip overhead
+            for _ in range(2):
+                d, r = search(batch, k, mode)
+            _block(d)
+            timed = run_pipelined
+        # two samples per point, min of each: the chip is pool-shared and
+        # single samples are noisy; slope removes fixed dispatch overhead
+        t_lo = min(timed(lo), timed(lo))
+        t_hi = min(timed(hi), timed(hi))
         per_batch = (t_hi - t_lo) / (hi - lo)
         if per_batch <= 0:
             per_batch = t_hi / hi

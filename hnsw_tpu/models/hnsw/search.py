@@ -44,7 +44,8 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int):
+def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int,
+                force: str | None = None):
     """Top-ef merge of [beam ++ candidates] carrying (id, expanded) payload.
     Candidates are fresh (never expanded); the beam is ascending-sorted (the
     invariant every merge re-establishes).
@@ -59,8 +60,13 @@ def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int):
     the opposite — its native top_k beats the emitted O(n log^2 n) network
     — so backend selection happens at trace time. The expanded flag rides
     in the payload's low bit; -1 ids map to -2/-1 payloads whose arithmetic
-    >>1 restores -1."""
-    if jax.default_backend() == "tpu":
+    >>1 restores -1.
+
+    force ("bitonic" | "topk", default backend-chosen) pins the variant so
+    the CPU suite can cover the TPU-only bit-packed payload path."""
+    use_bitonic = (force == "bitonic" if force
+                   else jax.default_backend() == "tpu")
+    if use_bitonic:
         pay_beam = (beam_i << 1) | beam_e.astype(jnp.int32)
         pay_cand = cand_i << 1
         kd, kv = bitonic_topk_presorted(beam_d, pay_beam, cand_d, pay_cand,
