@@ -405,6 +405,76 @@ def _layer_fused(sub: jnp.ndarray, n, *, cap: int, kq: int, metric: Metric,
     return out.reshape(ns_pad, cap)
 
 
+@partial(jax.jit, static_argnames=("cap", "kq", "tile", "metric",
+                                   "precision"))
+def _layers_stacked_fused(vectors, mem_s, n_s, *, cap: int, kq: int,
+                          tile: int, metric: Metric, precision: str):
+    """vmap of _layer_fused over P stacked member sets — one dispatch builds
+    one layer of EVERY set. mem_s: [P, S_pad] GLOBAL row ids (-1 pad);
+    n_s: [P] member counts. Returns [P, S_pad, cap] GLOBAL ids (-1 pad).
+    The single-device twin of parallel/build._stacked_layer."""
+
+    def one(mem, nn):
+        sub = jnp.take(vectors, jnp.maximum(mem, 0), axis=0)
+        live = (jnp.arange(sub.shape[0]) < nn)[:, None]
+        sub = jnp.where(live, sub, 0.0)
+        out = _layer_fused(sub, nn, cap=cap, kq=kq, metric=metric,
+                           tile=tile, precision=precision)
+        return jnp.where(out >= 0, jnp.take(mem, jnp.maximum(out, 0)), NONE)
+
+    return jax.vmap(one)(mem_s, n_s)
+
+
+def build_layers_stacked(
+    vectors: jnp.ndarray,        # [N_pad, D] global corpus
+    members: list,               # list of int32 arrays of GLOBAL row ids
+    *,
+    cap: int,
+    k_cand: int,
+    metric: Metric,
+    precision: str = "highest",
+) -> list:
+    """Build one graph layer for MANY disjoint member sets (e.g. IVF-HNSW's
+    per-cluster graphs — the reference builds those one ForkJoinPool task
+    per cluster, ivf_hnsw.clj:236-251) as ONE stacked device dispatch
+    instead of a host python loop of per-cluster programs. Returns a list
+    of [len(members[i]), cap] adjacencies in GLOBAL ids (-1 pad). Sets at
+    or below HOST_LAYER_MAX build on host (zero device compiles) when ALL
+    sets are that small."""
+    sizes = [len(m) for m in members]
+    mx = max(sizes, default=0)
+    if mx <= 1:
+        return [np.full((s, cap), NONE, np.int32) for s in sizes]
+
+    if mx <= HOST_LAYER_MAX:
+        out = []
+        for mem in members:
+            mem = np.asarray(mem, np.int32)
+            if len(mem) <= 1:
+                out.append(np.full((len(mem), cap), NONE, np.int32))
+                continue
+            x = np.asarray(jnp.take(vectors, jnp.asarray(mem), axis=0))
+            loc = _build_layer_host(x, cap=cap,
+                                    k_cand=min(k_cand, len(mem) - 1),
+                                    metric=metric)
+            out.append(np.where(loc >= 0, mem[np.maximum(loc, 0)],
+                                NONE).astype(np.int32))
+        return out
+
+    p = len(members)
+    s_pad = _pow2_at_least(mx, 8)
+    mem_s = np.full((p, s_pad), NONE, np.int32)
+    n_s = np.zeros(p, np.int32)
+    for i, mem in enumerate(members):
+        mem_s[i, : len(mem)] = np.asarray(mem, np.int32)
+        n_s[i] = len(mem)
+    stacked = np.asarray(_layers_stacked_fused(
+        vectors, jnp.asarray(mem_s), jnp.asarray(n_s),
+        cap=cap, kq=min(k_cand + 1, s_pad), tile=min(BUILD_TILE, s_pad),
+        metric=metric, precision=precision))
+    return [stacked[i, : sizes[i]] for i in range(p)]
+
+
 # ---------------------------------------------------------------------------
 # full build
 # ---------------------------------------------------------------------------

@@ -26,9 +26,9 @@ from hnsw_tpu.config import IVF_HNSW_MODES, Mode
 from hnsw_tpu.models._partition_scan import probe_mask_from_centroids
 from hnsw_tpu.models.base import ANNIndex
 from hnsw_tpu.models.common import as_corpus
-from hnsw_tpu.models.hnsw.build import build_layer
+from hnsw_tpu.models.hnsw.build import build_layers_stacked
 from hnsw_tpu.models.hnsw.search import hnsw_search_batch
-from hnsw_tpu.ops.kmeans import train_kmeans
+from hnsw_tpu.ops.kmeans import balanced_assign, topc_clusters, train_kmeans
 from hnsw_tpu.ops.topk import top_k_ascending
 from hnsw_tpu.types import Corpus, Metric
 
@@ -139,24 +139,48 @@ def build_ivf_hnsw_index(
     cents_j, assign_j = train_kmeans(
         corpus.vectors, corpus.sq_norms, n, k=kparts, seed=seed,
         iters=max_iterations, metric=corpus.metric)
-    assign = np.asarray(assign_j)[:n]
     cents = np.asarray(cents_j)
+    if kparts > 1:
+        # balanced reassignment (ops/kmeans.py) keeps cluster sizes within
+        # ~1.25x of the mean: near-equal probe cost, and the stacked build
+        # below pads every cluster to the LARGEST one's power-of-two
+        topd, topi = topc_clusters(corpus.vectors, corpus.sq_norms, n,
+                                   cents_j, c=min(4, kparts),
+                                   metric=corpus.metric)
+        cap_sz = int(np.ceil(1.25 * n / kparts))
+        assign = balanced_assign(topd, topi, kparts, cap_sz)
+    else:
+        assign = np.asarray(assign_j)[:n]
 
-    adj0 = np.full((corpus.n_pad, m0), -1, np.int32)
+    # medoid per cluster = member closest to its centroid (cluster entry
+    # point): distances computed on device, one small [n] fetch
+    a_dev = jnp.asarray(assign)
+    own = jnp.take(cents_j, a_dev, axis=0)
+    d2 = (corpus.sq_norms[:n]
+          - 2.0 * jnp.einsum("nd,nd->n", corpus.vectors[:n, : cents.shape[1]],
+                             own, preferred_element_type=jnp.float32)
+          + jnp.sum(own * own, axis=-1))
+    d2 = np.asarray(d2)
     medoids = np.zeros(kparts, np.int32)
-    host = np.asarray(corpus.vectors)
+    member_sets = []
     for c in range(kparts):
         members = np.nonzero(assign == c)[0].astype(np.int32)
-        if len(members) == 0:
-            continue
-        # medoid = member closest to the centroid (cluster entry point)
-        diff = host[members] - cents[c][None, :]
-        medoids[c] = members[int(np.argmin((diff * diff).sum(axis=1)))]
+        member_sets.append(members)
+        if len(members):
+            medoids[c] = members[int(np.argmin(d2[members]))]
+
+    # all per-cluster sub-graphs build as ONE stacked dispatch (the
+    # reference runs one ForkJoinPool task per cluster, ivf_hnsw.clj:236-251;
+    # a host loop of per-cluster device programs is the per-item dispatch
+    # pattern the TPU design forbids)
+    adj0 = np.full((corpus.n_pad, m0), -1, np.int32)
+    adjs = build_layers_stacked(
+        corpus.vectors, member_sets, cap=m0, k_cand=2 * m0,
+        metric=corpus.metric,
+        precision="highest" if n <= 50000 else "bf16")
+    for members, adj in zip(member_sets, adjs):
         if len(members) > 1:
-            adj0[members] = build_layer(
-                corpus.vectors, corpus.sq_norms, members,
-                cap=m0, k_cand=min(2 * m0, len(members) - 1),
-                metric=corpus.metric)
+            adj0[members] = adj
 
     return IVFHNSWIndex(
         corpus, centroids=jnp.asarray(cents),
