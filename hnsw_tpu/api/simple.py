@@ -112,19 +112,26 @@ class Index:
 
     # ---- persistence (simple.clj:62-74) --------------------------------
 
-    def save(self, path: str) -> str:
+    def save(self, path: str, *, format: str = "npz") -> str:
+        """Persist the index INCLUDING the per-id metadata table (the
+        reference's EDN save drops metadata — index_io.clj:10-39 — forcing
+        callers to re-supply it on load, the trap its own integration tests
+        fell into). format="dir" writes the mmap-loadable layout."""
         self._flush()
         if self._impl is None:
             raise ValueError("cannot save an empty index")
-        return _save(self._impl, path)
+        return _save(self._impl, path, metadata=self.metadata or None,
+                     format=format)
 
     @classmethod
     def load(cls, path: str, metadata: Optional[Dict[str, Any]] = None
              ) -> "Index":
-        impl = _load(path)
+        """Load a saved index; metadata stored in the artifact is restored
+        automatically (a `metadata` argument overrides stored entries)."""
+        impl, saved_meta = _load(path, return_metadata=True)
         out = cls(dimensions=impl.corpus.dim,
                   distance=impl.corpus.metric.value,
                   index_type=impl.family)
         out._impl = impl
-        out.metadata = dict(metadata or {})
+        out.metadata = {**saved_meta, **(metadata or {})}
         return out

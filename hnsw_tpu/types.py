@@ -105,6 +105,51 @@ class Corpus:
                    metric=Metric.coerce(metric), ids=id_table)
 
     @classmethod
+    def from_array_streamed(
+        cls,
+        data,
+        *,
+        metric: "Metric | str" = Metric.COSINE,
+        ids: Optional[Sequence[Any]] = None,
+        pad_rows_to: int = SUBLANE,
+        chunk_rows: int = 65536,
+    ) -> "Corpus":
+        """Pack a host array into the device layout WITHOUT materializing a
+        full host copy: rows are padded and device_put in `chunk_rows`
+        chunks, then concatenated on device. Use for numpy memmaps of
+        indexes near or beyond host RAM (io/persist.py dir format — the
+        completed form of the reference's mmap prototype,
+        wip/ultra_optimized.clj:196-242). Transient host memory is one
+        chunk; device peak is ~2x the corpus during the final concat."""
+        import jax
+
+        if getattr(data, "ndim", 2) != 2:
+            raise ValueError(f"expected [n, dim] array, got {data.shape}")
+        n, dim = data.shape
+        if n <= chunk_rows:
+            return cls.from_array(np.asarray(data, np.float32), metric=metric,
+                                  ids=ids, pad_rows_to=pad_rows_to)
+        n_pad = round_up(n, pad_rows_to)
+        d_pad = round_up(dim, LANE)
+        parts = []
+        for s in range(0, n_pad, chunk_rows):
+            rows = min(chunk_rows, n_pad - s)
+            block = np.zeros((rows, d_pad), np.float32)
+            real = max(min(n - s, rows), 0)
+            if real:
+                block[:real, :dim] = data[s: s + real]
+            parts.append(jax.device_put(block))
+        vectors = jnp.concatenate(parts, axis=0)
+        sq_norms = jnp.sum(vectors * vectors, axis=-1)
+        id_table = None
+        if ids is not None:
+            if len(ids) != n:
+                raise ValueError(f"{len(ids)} ids for {n} vectors")
+            id_table = np.asarray([str(i) for i in ids], dtype=object)
+        return cls(vectors=vectors, sq_norms=sq_norms, n=n, dim=dim,
+                   metric=Metric.coerce(metric), ids=id_table)
+
+    @classmethod
     def from_pairs(cls, pairs: Sequence[tuple], **kw) -> "Corpus":
         """Build from the reference's native data shape: a sequence of
         ``[id, vector]`` pairs (reference: src/hnsw/ultra_fast.clj:334-344,
