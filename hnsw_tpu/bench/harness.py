@@ -117,21 +117,33 @@ def run_search_benchmark(
     try:
         import jax
 
+        # hoist the search's closed-over device arrays (the corpus, packed
+        # kernels' shadows, adjacency) into explicit jit arguments: traced
+        # under an OUTER jit they would otherwise be baked into the HLO as
+        # literal constants, producing 100+ MB executables whose remote
+        # compiles blew the round-2 bench budget (jax.closure_convert does
+        # not hoist jax.Array constants; make_jaxpr's consts list does)
+        cj = jax.make_jaxpr(lambda qb: search(qb, k, mode))(batch)
+        consts = cj.consts
+
         @jax.jit
-        def repeated(qb, n_iters):
+        def repeated(qb, n_iters, *cs):
             def body(i, acc):
                 # loop-variant query perturbation: without it the search is
                 # loop-invariant and XLA's LICM computes it once. The factor
                 # must survive a bf16 cast (bf16 ULP near 1.0 is 2^-8), so
                 # use exact multiples of 2^-4
                 scale = 1.0 + (jnp.astype(i % 8, jnp.float32) + 1.0) * 0.0625
-                d, r = search(qb * scale, k, mode)
-                return acc + d[0, 0] + jnp.astype(r[0, 0], jnp.float32)
+                outs = jax.core.eval_jaxpr(cj.jaxpr, cs, qb * scale)
+                for o in outs[:2]:            # (distances, rows)
+                    acc = acc + jnp.astype(o.reshape(-1)[0], jnp.float32)
+                return acc
             return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
         def run_timed(inner):
             t0 = time.perf_counter()
-            float(repeated(batch, inner))     # full value fetch: true sync
+            # full value fetch: true sync
+            float(repeated(batch, inner, *consts))
             return time.perf_counter() - t0
 
         def run_pipelined(m):
@@ -146,22 +158,32 @@ def run_search_benchmark(
             return time.perf_counter() - t0
 
         if use_scan:
-            lo, hi = 4, max(2 * iters, 16)
-            float(repeated(batch, 2))         # compile + warm (once)
+            float(repeated(batch, 2, *consts))  # compile + warm (once)
             timed = run_timed
         else:
-            lo, hi = 8, max(8 * iters, 48)
             for _ in range(2):
                 d, r = search(batch, k, mode)
             _block(d)
             timed = run_pipelined
-        # two samples per point, min of each: the chip is pool-shared and
-        # single samples are noisy; slope removes fixed dispatch overhead
-        t_lo = min(timed(lo), timed(lo))
-        t_hi = min(timed(hi), timed(hi))
-        per_batch = (t_hi - t_lo) / (hi - lo)
+        # adaptive two-point slope: grow the repeat count geometrically
+        # until measured time clears the relay's noise floor (~80 ms RTT
+        # with multi-ms jitter on a pool-shared chip), then difference the
+        # last two points. A fixed small count difference under-resolves
+        # fast kernels: at ~0.7 ms/batch a 16-batch delta is ~10 ms —
+        # inside the noise — which once produced a 24M-QPS reading.
+        lo = 4
+        n_lo, t_lo = lo, timed(lo)
+        n_hi, t_hi = n_lo, t_lo
+        while t_hi < 0.35 and n_hi < 4096:
+            n_lo, t_lo = n_hi, t_hi
+            n_hi = n_hi * 4
+            t_hi = timed(n_hi)
+        if n_hi == n_lo:                      # first point already slow
+            n_hi = 2 * n_lo
+            t_hi = timed(n_hi)
+        per_batch = (t_hi - t_lo) / (n_hi - n_lo)
         if per_batch <= 0:
-            per_batch = t_hi / hi
+            per_batch = t_hi / n_hi
         qps_device = b / per_batch
     except Exception:
         import os
