@@ -50,22 +50,26 @@ def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int,
     Candidates are fresh (never expanded); the beam is ascending-sorted (the
     invariant every merge re-establishes).
 
-    On TPU, XLA lowers lax.top_k/sort over [B, few-hundred] slices to a
-    serialized per-slice sort that runs ~40x below VPU speed-of-light
-    (measured 2.1 ms for [1024, 228]); the batched bitonic network in
-    ops/sort.py performs the same merge as static lane permutations +
-    elementwise min/max (~17x per-hop speedup end-to-end) — and because the
-    beam is presorted, only the candidates need the full network before a
-    single merge phase (bitonic_topk_presorted). The CPU test backend is
-    the opposite — its native top_k beats the emitted O(n log^2 n) network
-    — so backend selection happens at trace time. The expanded flag rides
-    in the payload's low bit; -1 ids map to -2/-1 payloads whose arithmetic
-    >>1 restores -1.
+    The default is lax.top_k over the concatenation. The bitonic network in
+    ops/sort.py (static lane permutations + elementwise min/max, exploiting
+    the presorted beam) looked faster in isolated micro-benches, but measured
+    INSIDE the hop loop on the real chip it is ~10x SLOWER (32.4 vs 3.4
+    ms/hop at B=1024, ef=100, C=128 — scripts/_probe_hnsw_r3.py, r3 probe):
+    XLA materializes every exchange stage of the while-loop body instead of
+    fusing them. It stays available behind force="bitonic" for kernels that
+    can fuse it (e.g. inside a Pallas block) and for CI coverage of the
+    bit-packed payload path. The expanded flag rides in the payload's low
+    bit; -1 ids map to -2/-1 payloads whose arithmetic >>1 restores -1.
 
-    force ("bitonic" | "topk", default backend-chosen) pins the variant so
-    the CPU suite can cover the TPU-only bit-packed payload path."""
-    use_bitonic = (force == "bitonic" if force
-                   else jax.default_backend() == "tpu")
+    "approx" selects with jax.lax.approx_min_k — XLA's TPU-native
+    PartialReduce selection. It may miss a true top-ef member (bucketed
+    min-reduction); a dropped member can re-enter later and be re-expanded
+    (its flag was lost), which costs duplicate work but never correctness —
+    the in-beam dedupe and the stop rule only need the beam to be a subset
+    of the union with ascending order, which aggregate_to_topk preserves.
+
+    force ("bitonic" | "topk" | "approx") pins the variant."""
+    use_bitonic = force == "bitonic"
     if use_bitonic:
         pay_beam = (beam_i << 1) | beam_e.astype(jnp.int32)
         pay_cand = cand_i << 1
@@ -76,7 +80,10 @@ def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int,
     all_i = jnp.concatenate([beam_i, cand_i], axis=-1)
     all_e = jnp.concatenate(
         [beam_e, jnp.zeros(cand_d.shape, bool)], axis=-1)
-    kd, sel = top_k_ascending(all_d, ef)
+    if force == "approx":
+        kd, sel = jax.lax.approx_min_k(all_d, ef, recall_target=0.95)
+    else:
+        kd, sel = top_k_ascending(all_d, ef)
     return (kd, jnp.take_along_axis(all_i, sel, axis=-1),
             jnp.take_along_axis(all_e, sel, axis=-1))
 
@@ -136,7 +143,7 @@ def _dedupe_row(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k", "ef", "expand", "max_hops", "metric",
-                                   "precision", "debug_hops"))
+                                   "precision", "debug_hops", "merge"))
 def hnsw_search_batch(
     vectors: jnp.ndarray,     # [N_pad, D]
     v_sq: jnp.ndarray,        # [N_pad]
@@ -156,6 +163,9 @@ def hnsw_search_batch(
                                             # vectors (see pack_neighbors)
     nbr_sq: jnp.ndarray | None = None,      # [N_pad, M0] their sq norms
     debug_hops: bool = False,               # also return the hop count taken
+    merge: str | None = None,               # beam-merge variant ("bitonic" |
+                                            # "topk" | "approx"); None = topk
+                                            # (see _beam_merge docstring)
 ):
     """Full hierarchy search. Returns (dists [B, k], rows [B, k]), rows=-1
     for missing. ef is honored exactly (the reference documents ef presets
@@ -243,7 +253,8 @@ def hnsw_search_batch(
             d_nb = _score(queries, jnp.maximum(nb, 0), loop_vecs, v_sq,
                           metric, valid, precision)            # [B, C]
         beam_d, beam_ids, beam_exp = _beam_merge(
-            beam_d, beam_ids, beam_exp, d_nb, jnp.where(valid, nb, -1), ef)
+            beam_d, beam_ids, beam_exp, d_nb, jnp.where(valid, nb, -1), ef,
+            force=merge)
         return beam_d, beam_ids, beam_exp, active, hop + 1
 
     state = (beam_d, beam_ids, beam_exp, jnp.ones((b,), bool), jnp.int32(0))

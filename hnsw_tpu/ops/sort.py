@@ -1,16 +1,17 @@
 """Vectorized bitonic sort / top-k merge.
 
-XLA's `lax.top_k`/`sort` on TPU lowers to a serialized per-slice sort that
-runs ~40x below VPU speed-of-light for the [B, few-hundred] shapes the beam
-merge needs (measured: 2.1 ms for [1024, 228] — ~15M compare-ops that the
-VPU could do in ~50 us). This module implements the classic batched bitonic
-network with jnp reshapes/where only — every stage is a static lane
-permutation + elementwise min/max over the whole [B, L] tile, which XLA
-fuses into a handful of VPU passes.
+The classic batched bitonic network with jnp reshapes/where only — every
+stage is a static lane permutation + elementwise min/max over the whole
+[B, L] tile.
 
-Used for the HNSW beam merge (models/hnsw/search.py) — the reference's
-PriorityQueue pair (ultra_fast.clj:151-212) — and anywhere else a small
-per-row top-k follows a score tile.
+Hardware reality check (round-3 probe, scripts/_probe_hnsw_r3.py): inside
+the HNSW hop loop on the real chip, XLA does NOT fuse the exchange stages —
+each one materializes, and the network runs ~10x SLOWER than the lax.top_k
+it was meant to replace (32.4 vs 3.4 ms/hop at [1024, 228]). lax.top_k is
+therefore the production beam merge again (models/hnsw/search.py
+_beam_merge); this module remains for contexts that can fuse the stages
+(e.g. a future Pallas block where the whole network runs in VMEM) and as
+the reference implementation its tests pin down.
 
 Values ride along as one int32 payload; ties break by lane position so the
 key/payload pairing stays consistent between exchange partners.
