@@ -143,7 +143,8 @@ def _dedupe_row(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k", "ef", "expand", "max_hops", "metric",
-                                   "precision", "debug_hops", "merge"))
+                                   "precision", "debug_hops", "merge",
+                                   "hop_kernel"))
 def hnsw_search_batch(
     vectors: jnp.ndarray,     # [N_pad, D]
     v_sq: jnp.ndarray,        # [N_pad]
@@ -166,6 +167,9 @@ def hnsw_search_batch(
     merge: str | None = None,               # beam-merge variant ("bitonic" |
                                             # "topk" | "approx"); None = topk
                                             # (see _beam_merge docstring)
+    hop_kernel: str | None = None,          # "pallas": ring-DMA fused
+                                            # gather+score (ops/pallas_hop);
+                                            # None = XLA gather+einsum
 ):
     """Full hierarchy search. Returns (dists [B, k], rows [B, k]), rows=-1
     for missing. ef is honored exactly (the reference documents ef presets
@@ -237,7 +241,17 @@ def hnsw_search_batch(
         in_beam = jnp.any(nb[:, :, None] == beam_ids[:, None, :], axis=-1)
         valid = valid & ~in_beam
 
-        if nbr_pack is not None:
+        if nbr_pack is not None and hop_kernel == "pallas":
+            # ring-DMA fused gather+score: XLA's gather issues one DMA per
+            # [M0, D] neighborhood with no pipelining (~1 us/row measured);
+            # the Pallas kernel keeps ~ring*E copies in flight. csq comes
+            # from the landed bf16 block itself (see ops/pallas_hop.py).
+            from hnsw_tpu.ops.pallas_hop import hop_score
+            dots, c_sq = hop_score(nbr_pack, queries, sel_rows)
+            q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1,
+                           keepdims=True)
+            d_nb = jnp.where(valid, _dist_bc(dots, q_sq, c_sq, metric), BIG)
+        elif nbr_pack is not None:
             blocks = jnp.take(nbr_pack, sel_rows, axis=0)      # [B, E, M0, D]
             prec = (jax.lax.Precision.HIGHEST if precision == "highest"
                     else None)

@@ -1,11 +1,7 @@
 #!/usr/bin/env python
-"""Round-3 TPU probe #2: hop-loop merge variants + expand sweep.
-
-Baseline (probe #1): topk merge, pack=True, expand=4 -> 37 hops,
-3.36 ms/hop, 8.2k QPS. Questions:
-  1. isolated cost of lax.top_k vs approx_min_k on [1024, 228] -> 100
-  2. in-loop: merge in {topk, approx} x expand in {4, 8, 16}
-     (hops, ms/batch, QPS, recall@10 vs exact)
+"""Round-3 TPU probe #4: Pallas ring-DMA hop kernel vs the XLA gather path,
+measured as the FULL production search program (hnsw_search_batch) on the
+31k bench corpus. Also times the raw kernel against the raw XLA gather.
 """
 
 import json
@@ -25,7 +21,6 @@ import numpy as np  # noqa: E402
 
 from hnsw_tpu.io.datagen import generate_vectors  # noqa: E402
 from hnsw_tpu.types import Corpus  # noqa: E402
-
 from hnsw_tpu.models.flat import exact_topk  # noqa: E402
 from hnsw_tpu.models.hnsw.search import (  # noqa: E402
     hnsw_search_batch, pack_neighbors, sample_entries,
@@ -43,7 +38,10 @@ def block(x):
 
 
 def timed_loop(fn, reps=8):
-    fn()  # compile + warm
+    t0 = time.perf_counter()
+    r = fn()
+    block(r)
+    compile_s = time.perf_counter() - t0
     fn()
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -51,27 +49,23 @@ def timed_loop(fn, reps=8):
     block(r)
     dt = time.perf_counter() - t0
     if dt < 0.4:
-        reps = max(reps * 8, int(reps * 0.8 / max(dt / reps, 1e-9) / 8) * 8)
+        reps = min(max(reps * 8, int(reps * 0.8 / max(dt / reps, 1e-9) / 8)
+                       * 8), 4096)
         t0 = time.perf_counter()
         for _ in range(reps):
             r = fn()
         block(r)
         dt = time.perf_counter() - t0
-    return dt / reps
+    return dt / reps, compile_s
 
 
-# ---- in-loop sweep ----------------------------------------------------------
-# Isolated-op findings (already measured, three runs): top_k [1024,228]->100
-# ~0.017 ms, approx_min_k ~0.018, full sort ~0.018 — the merge op is NOT the
-# per-hop bottleneck. Cache the built index on disk so repeated probe runs
-# skip the (relay-sensitive) 31k build.
 t0 = time.perf_counter()
 data = generate_vectors(N, DIM, distribution="embedding",
                         num_clusters=64, seed=42)
 out(stage="datagen", s=round(time.perf_counter() - t0, 1))
 CACHE = "/tmp/hnsw31k_idx.npz"
 if os.path.exists(CACHE):
-    from hnsw_tpu.io.persist import load_index  # noqa: E402
+    from hnsw_tpu.io.persist import load_index
     t0 = time.perf_counter()
     idx = load_index(CACHE)
     corpus = idx.corpus
@@ -83,15 +77,15 @@ else:
     block(corpus.vectors)
     out(stage="staged", s=round(time.perf_counter() - t0, 1))
     t0 = time.perf_counter()
-    from hnsw_tpu.models.hnsw import HNSWIndex  # noqa: E402
-    from hnsw_tpu.models.hnsw.build import build_graph  # noqa: E402
+    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.hnsw.build import build_graph
     graph = build_graph(
         corpus, m=16,
         progress=lambda st, fr: out(stage="build_tick", at=st,
                                     s=round(time.perf_counter() - t0, 1)))
     idx = HNSWIndex(corpus, graph)
     out(stage="built", s=round(time.perf_counter() - t0, 1))
-    from hnsw_tpu.io.persist import save_index  # noqa: E402
+    from hnsw_tpu.io.persist import save_index
     save_index(idx, CACHE)
     out(stage="saved")
 
@@ -104,36 +98,61 @@ block(entries)
 nbr_pack, nbr_sq = pack_neighbors(vec_lp, corpus.sq_norms, g.adj0)
 block(nbr_sq)
 upper = g.adj_upper[:0]
+out(stage="packed")
 
+# ---- raw kernel vs raw XLA gather (E=4) -----------------------------------
+from hnsw_tpu.ops.pallas_hop import hop_score  # noqa: E402
+
+E = 4
+kk = jax.random.PRNGKey(1)
+sel = jax.random.randint(kk, (B, E), 0, corpus.n, jnp.int32)
+qlp = q.astype(jnp.bfloat16)
+
+
+@jax.jit
+def xla_gather_score(qq, sel):
+    blocks = jnp.take(nbr_pack, sel, axis=0)
+    dots = jnp.einsum("bd,bemd->bem", qq.astype(blocks.dtype), blocks,
+                      preferred_element_type=jnp.float32)
+    return dots.reshape(B, E * 32)
+
+
+for name, fn in [
+    ("pallas_hop_score", lambda: hop_score(nbr_pack, qlp, sel)[0]),
+    ("xla_gather_score", lambda: xla_gather_score(qlp, sel)),
+]:
+    dt, comp = timed_loop(fn)
+    out(op=name, ms=round(dt * 1e3, 3), compile_s=round(comp, 1),
+        eff_gbps=round(B * E * 32 * DIM * 2 / dt / 1e9, 1))
+
+# ---- full search program --------------------------------------------------
 gt_d, gt_i = exact_topk(corpus.vectors, corpus.sq_norms, q,
                         k=K, n=jnp.int32(corpus.n), metric=corpus.metric)
 gt = np.asarray(gt_i)
-block(gt_i)
 
 
 def recall(rows):
     r = np.asarray(rows)
-    hits = sum(len(set(r[i]) & set(gt[i])) for i in range(B))
-    return hits / (B * K)
+    return sum(len(set(r[i]) & set(gt[i])) for i in range(B)) / (B * K)
 
 
-for merge in ("topk", "approx"):
-    for expand in (4, 8, 16):
+for hop_kernel in ("pallas", None):
+    for expand in (4, 8):
         def call(dbg=False):
             return hnsw_search_batch(
                 corpus.vectors, corpus.sq_norms, g.adj0, upper, entries, q,
                 k=K, ef=EF, expand=expand, metric=corpus.metric,
                 precision="default", vectors_lp=vec_lp,
                 nbr_pack=nbr_pack, nbr_sq=nbr_sq,
-                merge=merge, debug_hops=dbg)
+                hop_kernel=hop_kernel, debug_hops=dbg)
 
         t0 = time.perf_counter()
         d, r, hops = call(dbg=True)
         block(d)
         t_compile = time.perf_counter() - t0
         rec = recall(r)
-        per_batch = timed_loop(lambda: call()[0])
-        out(stage="search", merge=merge, expand=expand, hops=int(hops),
-            compile_s=round(t_compile, 1),
+        per_batch, _ = timed_loop(lambda: call()[0])
+        out(stage="search", hop_kernel=hop_kernel, expand=expand,
+            hops=int(hops), compile_s=round(t_compile, 1),
             per_batch_ms=round(per_batch * 1e3, 2),
             qps=round(B / per_batch), recall_at_10=round(rec, 4))

@@ -122,3 +122,25 @@ def test_beam_merge_bitonic_matches_topk(ef, c):
     assert (i_b[~live] == -1).all() and (i_t[~live] == -1).all()
     # result stays ascending-sorted: the invariant the next hop relies on
     assert (np.diff(d_b, axis=-1) >= 0).all()
+
+    # the approx (approx_min_k) variant may miss members but must return an
+    # ascending subset of the input union with near-total overlap, and must
+    # carry each member's own (id, expanded) payload
+    d_a, i_a, e_a = (np.asarray(x) for x in _beam_merge(*args,
+                                                        force="approx"))
+    assert (np.diff(d_a, axis=-1) >= 0).all()
+    pay = {}
+    for bb in range(B):
+        for dd, ii, ee_ in zip(np.concatenate([beam_d[bb], cand_d[bb]]),
+                               np.concatenate([beam_i[bb], cand_i[bb]]),
+                               np.concatenate([beam_e[bb],
+                                               np.zeros(c, bool)])):
+            pay[(bb, float(dd))] = (int(ii), bool(ee_))
+    hits = 0
+    for bb in range(B):
+        for dd, ii, ee_ in zip(d_a[bb], i_a[bb], e_a[bb]):
+            if dd >= BIG:
+                continue
+            assert pay[(bb, float(dd))] == (int(ii), bool(ee_))
+            hits += int(float(dd) in set(d_t[bb].tolist()))
+    assert hits / (B * ef) >= 0.9
