@@ -247,12 +247,15 @@ def run_recall_benchmark(
 
 
 def _block(x):
-    """Synchronize on a device array. Fetches one value: on relay-tunneled
+    """Synchronize on a device array. Fetches ONE value: on relay-tunneled
     backends block_until_ready can return before execution completes, so a
-    value round-trip is the only reliable barrier."""
+    value round-trip is the only reliable barrier — but it must be a scalar
+    fetch (np.asarray(x) pulls the WHOLE array through the relay; on a 96 MB
+    corpus that is minutes of pure transfer)."""
     try:
         x.block_until_ready()
-        np.asarray(x).ravel()[:1]
+        import jax
+        jax.device_get(x.ravel()[:1])
     except AttributeError:
         pass
 

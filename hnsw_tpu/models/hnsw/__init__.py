@@ -41,7 +41,7 @@ class HNSWIndex(ANNIndex):
     def __init__(self, corpus: Corpus, graph: HNSWGraph, *,
                  expand: int = 4, entry_mode: str = "sample",
                  entry_sample: int = 512, precision: str = "auto",
-                 pack: str | bool = "auto"):
+                 pack: str | bool = "auto", hop_kernel: str | None = "auto"):
         super().__init__(corpus)
         self.graph = graph
         self.expand = expand
@@ -49,6 +49,7 @@ class HNSWIndex(ANNIndex):
         self.entry_sample = entry_sample
         self.precision = precision
         self.pack = pack
+        self.hop_kernel = hop_kernel
         self._sample_rows = None
         self._vec_lp = None
         self._nbr_pack = None
@@ -99,6 +100,18 @@ class HNSWIndex(ANNIndex):
         if use_pack and self._nbr_pack is None:
             self._nbr_pack, self._nbr_sq = pack_neighbors(
                 self._vec_lp, self.corpus.sq_norms, self.graph.adj0)
+        # "auto": the ring-DMA Pallas kernel sustains ~615 GB/s on the
+        # packed-neighborhood gather vs ~46 GB/s for XLA's row gather
+        # (scripts/_probe_hop_kernel_r3b.py), but it needs the TPU backend,
+        # the pack, and MXU/VPU-aligned shapes
+        hop_kernel = self.hop_kernel
+        if hop_kernel == "auto":
+            import jax
+            dim = self.corpus.vectors.shape[1]
+            eligible = (jax.default_backend() == "tpu" and use_pack
+                        and dim % 128 == 0
+                        and (min(self.expand, ef) * self.graph.m0) % 128 == 0)
+            hop_kernel = "pallas" if eligible else None
         d, r = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
             self.graph.adj0, upper, entries, q,
@@ -107,6 +120,7 @@ class HNSWIndex(ANNIndex):
             vectors_lp=self._vec_lp,
             nbr_pack=self._nbr_pack if use_pack else None,
             nbr_sq=self._nbr_sq if use_pack else None,
+            hop_kernel=hop_kernel,
         )
         return d, r
 

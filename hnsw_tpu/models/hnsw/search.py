@@ -50,25 +50,28 @@ def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int,
     Candidates are fresh (never expanded); the beam is ascending-sorted (the
     invariant every merge re-establishes).
 
-    The default is lax.top_k over the concatenation. The bitonic network in
-    ops/sort.py (static lane permutations + elementwise min/max, exploiting
-    the presorted beam) looked faster in isolated micro-benches, but measured
-    INSIDE the hop loop on the real chip it is ~10x SLOWER (32.4 vs 3.4
-    ms/hop at B=1024, ef=100, C=128 — scripts/_probe_hnsw_r3.py, r3 probe):
-    XLA materializes every exchange stage of the while-loop body instead of
-    fusing them. It stays available behind force="bitonic" for kernels that
-    can fuse it (e.g. inside a Pallas block) and for CI coverage of the
-    bit-packed payload path. The expanded flag rides in the payload's low
-    bit; -1 ids map to -2/-1 payloads whose arithmetic >>1 restores -1.
+    The default is ONE variadic lax.sort over the concatenation, carrying
+    the (id << 1) | expanded bit-packed payload with the keys inside the
+    sort network. Measured in situ on the v5e (B=1024, ef=100, C=128,
+    scripts/_probe_hop_ablate_r3.py): sort 0.49 ms/hop vs top_k 2.72 —
+    the top_k path's cost is NOT the selection but the two lane-axis
+    take_along_axis payload gathers after it, which XLA lowers to serial
+    per-element dynamic slices inside a loop body. approx_min_k pays the
+    same gathers (2.67 ms/hop). -1 ids map to -2/-1 payloads whose
+    arithmetic >>1 restores -1.
 
-    "approx" selects with jax.lax.approx_min_k — XLA's TPU-native
-    PartialReduce selection. It may miss a true top-ef member (bucketed
-    min-reduction); a dropped member can re-enter later and be re-expanded
-    (its flag was lost), which costs duplicate work but never correctness —
-    the in-beam dedupe and the stop rule only need the beam to be a subset
-    of the union with ascending order, which aggregate_to_topk preserves.
-
-    force ("bitonic" | "topk" | "approx") pins the variant."""
+    Variants behind force=:
+    - "topk": lax.top_k + take_along_axis payload gathers (portable).
+    - "onehot": lax.top_k + one-hot payload reduction (0.52 ms/hop — the
+      fallback shape if a backend lacks fast variadic sort).
+    - "approx": jax.lax.approx_min_k — may miss a true top-ef member
+      (bucketed min-reduction); a dropped member can re-enter later and be
+      re-expanded (its flag was lost), which costs duplicate work but never
+      correctness — the in-beam dedupe and the stop rule only need the beam
+      to be a subset of the union with ascending order.
+    - "bitonic": the ops/sort.py network — ~10x slower in situ (XLA
+      materializes every exchange stage); kept for CI coverage and for
+      fusion inside future Pallas blocks."""
     use_bitonic = force == "bitonic"
     if use_bitonic:
         pay_beam = (beam_i << 1) | beam_e.astype(jnp.int32)
@@ -80,10 +83,25 @@ def _beam_merge(beam_d, beam_i, beam_e, cand_d, cand_i, ef: int,
     all_i = jnp.concatenate([beam_i, cand_i], axis=-1)
     all_e = jnp.concatenate(
         [beam_e, jnp.zeros(cand_d.shape, bool)], axis=-1)
+    if force is None or force == "sort":
+        pay = (all_i << 1) | all_e.astype(jnp.int32)
+        kd, kp = jax.lax.sort((all_d, pay), num_keys=1)
+        kd, kp = kd[..., :ef], kp[..., :ef]
+        return kd, kp >> 1, (kp & 1) == 1
     if force == "approx":
         kd, sel = jax.lax.approx_min_k(all_d, ef, recall_target=0.95)
     else:
         kd, sel = top_k_ascending(all_d, ef)
+    if force == "onehot":
+        # payload extraction as a one-hot reduction instead of lane-axis
+        # take_along_axis (which XLA can lower to serial per-element
+        # dynamic slices inside a loop body)
+        width = all_d.shape[-1]
+        oh = sel[:, :, None] == jnp.arange(width, dtype=sel.dtype)[None, None]
+        ki = jnp.max(jnp.where(oh, all_i[:, None, :], -(2 ** 31 - 1)),
+                     axis=-1)
+        ke = jnp.any(oh & all_e[:, None, :], axis=-1)
+        return kd, ki, ke
     return (kd, jnp.take_along_axis(all_i, sel, axis=-1),
             jnp.take_along_axis(all_e, sel, axis=-1))
 
@@ -164,8 +182,9 @@ def hnsw_search_batch(
                                             # vectors (see pack_neighbors)
     nbr_sq: jnp.ndarray | None = None,      # [N_pad, M0] their sq norms
     debug_hops: bool = False,               # also return the hop count taken
-    merge: str | None = None,               # beam-merge variant ("bitonic" |
-                                            # "topk" | "approx"); None = topk
+    merge: str | None = None,               # beam-merge variant ("sort" |
+                                            # "topk" | "onehot" | "approx" |
+                                            # "bitonic"); None = sort
                                             # (see _beam_merge docstring)
     hop_kernel: str | None = None,          # "pallas": ring-DMA fused
                                             # gather+score (ops/pallas_hop);

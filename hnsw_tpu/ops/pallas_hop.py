@@ -8,13 +8,20 @@ linearly with E*B at ~46 GB/s effective, 20x under HBM speed-of-light).
 The reference hits the same wall differently: its scalar hop loop chases
 pointers one neighbor at a time (ultra_fast.clj:151-212).
 
-This kernel keeps a ring of SQ in-flight queries, each with E outstanding
-async copies from HBM into VMEM, so DMA latency overlaps across ~SQ*E
-transfers while the MXU scores the block that just landed. Neighbor squared
-norms are recomputed from the landed bf16 block (self-dot on the VPU): that
-makes the distance the exact cosine/euclidean of the bf16-rounded corpus —
-self-consistent with the dots — and saves a second (tiny-row, latency-bound)
-gather of a separate norms table.
+This kernel processes queries in strips of S=8 (every VMEM row offset is a
+provable multiple of the sublane tile — Mosaic rejects per-row dynamic
+loads like q_ref[t] outright) and keeps a ring of `ring` strips in flight,
+each with S*E outstanding async HBM->VMEM block copies, so DMA latency
+overlaps across ~ring*S*E transfers while the MXU scores the strip that
+just landed.
+
+Scoring does one [S, D] x [S*C, D]^T strip matmul (S x redundant — each
+query only needs its own C columns — but the MXU at these shapes is
+weight-load bound, so the redundancy is free) and extracts the block
+diagonal of the [S, S, C] reshape. Neighbor squared norms come from a
+second ones x (cat*cat) matmul through the same diagonal extraction: that
+makes the distances self-consistent with the bf16-rounded corpus and
+eliminates a second (tiny-row, latency-bound) norms gather.
 
 Outputs: dots [B, E*M0] f32 and csq [B, E*M0] f32; the caller applies the
 metric formula and masking (models/hnsw/search.py).
@@ -29,49 +36,65 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+STRIP = 8  # queries per strip: the f32 sublane tile (guide: (8, 128))
 
-def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int):
+
+def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int, s: int):
     c = e * m0
+    sc = s * c
 
     def kernel(sel_ref, q_ref, hbm_ref, dots_ref, csq_ref, blk, sem):
         g = pl.program_id(0)
         base = g * tb
+        nstrips = tb // s
 
-        def dma(t, j):
+        def dma(t, i, j):
             slot = jax.lax.rem(t, sq)
-            row = sel_ref[base + t, j]
+            row = sel_ref[base + t * s + i, j]
             return pltpu.make_async_copy(
-                hbm_ref.at[row],                        # [M0, D] in HBM
-                blk.at[slot, pl.ds(j * m0, m0), :],     # -> slot's strip
-                sem.at[slot, j],
+                hbm_ref.at[row],                           # [M0, D] in HBM
+                blk.at[slot, pl.ds((i * e + j) * m0, m0), :],
+                sem.at[slot, i, j],
             )
 
-        # warm the ring: SQ queries x E blocks in flight
-        for t in range(sq):
-            for j in range(e):
-                dma(t, j).start()
+        # warm the ring: `sq` strips x S*E blocks in flight
+        for t in range(min(sq, nstrips)):
+            for i in range(s):
+                for j in range(e):
+                    dma(t, i, j).start()
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
+        diag = (ii == jj).astype(jnp.float32)              # [S, S, 1]
 
         def body(t, _):
             slot = jax.lax.rem(t, sq)
-            for j in range(e):
-                dma(t, j).wait()
-            cat = blk[slot]                             # [E*M0, D] bf16
-            q = q_ref[pl.ds(t, 1), :]                   # [1, D] bf16
-            dots = jax.lax.dot_general(
-                q, cat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)     # [1, C]
-            csq = jnp.sum(cat.astype(jnp.float32) * cat.astype(jnp.float32),
-                          axis=1)[None, :]              # [1, C]
-            dots_ref[pl.ds(t, 1), :] = dots
-            csq_ref[pl.ds(t, 1), :] = csq
-
-            @pl.when(t + sq < tb)
-            def _():
+            for i in range(s):
                 for j in range(e):
-                    dma(t + sq, j).start()
+                    dma(t, i, j).wait()
+            r0 = pl.multiple_of(t * s, s)
+            qs = q_ref[pl.ds(r0, s), :].astype(hbm_ref.dtype)   # [S, D]
+            cat = blk[slot]                                     # [S*C, D]
+            dots_full = jax.lax.dot_general(
+                qs, cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [S, S*C]
+            ones = jnp.ones((s, d), hbm_ref.dtype)
+            csq_full = jax.lax.dot_general(
+                ones, cat * cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [S, S*C]
+            dots_ref[pl.ds(r0, s), :] = jnp.sum(
+                dots_full.reshape(s, s, c) * diag, axis=1)
+            csq_ref[pl.ds(r0, s), :] = jnp.sum(
+                csq_full.reshape(s, s, c) * diag, axis=1)
+
+            @pl.when(t + sq < nstrips)
+            def _():
+                for i in range(s):
+                    for j in range(e):
+                        dma(t + sq, i, j).start()
             return 0
 
-        jax.lax.fori_loop(0, tb, body, 0)
+        jax.lax.fori_loop(0, nstrips, body, 0)
 
     return kernel
 
@@ -79,49 +102,54 @@ def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int):
 @partial(jax.jit, static_argnames=("tb", "ring", "interpret"))
 def hop_score(
     nbr_pack: jnp.ndarray,   # [N_pad, M0, D] bf16 packed neighborhoods
-    queries: jnp.ndarray,    # [B, D] (cast to nbr_pack dtype)
+    queries: jnp.ndarray,    # [B, D] (cast to nbr_pack dtype in-kernel)
     sel_rows: jnp.ndarray,   # [B, E] int32 node rows (invalid -> clamp 0)
     *,
-    tb: int = 256,
-    ring: int = 8,
+    tb: int = 1024,
+    ring: int = 3,
     interpret: bool = False,
 ):
     """Fused gather+score of each query's E neighborhoods.
     Returns (dots [B, E*M0] f32, csq [B, E*M0] f32)."""
     n_pad, m0, d = nbr_pack.shape
     b, e = sel_rows.shape
-    if b <= max(tb, 1024):
-        tb = b          # single grid step; VMEM blocks stay small (<~6 MB)
-    else:
-        tb = next(t for t in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
-                  if b % t == 0)
-    sq = min(ring, tb)
+    s = STRIP
     c = e * m0
+    # pad the batch to a whole number of strips
+    b_pad = -(-b // s) * s
     sel = jnp.maximum(sel_rows, 0)
+    q = queries.astype(jnp.float32)
+    if b_pad != b:
+        sel = jnp.pad(sel, ((0, b_pad - b), (0, 0)))
+        q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
+    tb = min(tb, b_pad)
+    if b_pad % tb != 0:
+        tb = next(t for t in range(tb, 0, -s) if b_pad % t == 0 and t % s == 0)
+    sq = max(1, min(ring, tb // s))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b // tb,),
+        grid=(b_pad // tb,),
         in_specs=[
             pl.BlockSpec((tb, d), lambda i, sel_ref: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((tb, c), lambda i, sel_ref: (i, 0)),
             pl.BlockSpec((tb, c), lambda i, sel_ref: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((sq, c, d), nbr_pack.dtype),
-            pltpu.SemaphoreType.DMA((sq, e)),
+            pltpu.VMEM((sq, s * c, d), nbr_pack.dtype),
+            pltpu.SemaphoreType.DMA((sq, s, e)),
         ],
     )
     dots, csq = pl.pallas_call(
-        _make_kernel(tb, e, m0, d, sq),
+        _make_kernel(tb, e, m0, d, sq, s),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
         ],
         interpret=interpret,
-    )(sel, queries.astype(nbr_pack.dtype), nbr_pack)
-    return dots, csq
+    )(sel, q, nbr_pack)
+    return dots[:b], csq[:b]

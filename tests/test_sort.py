@@ -110,18 +110,21 @@ def test_beam_merge_bitonic_matches_topk(ef, c):
 
     args = (jnp.asarray(beam_d), jnp.asarray(beam_i), jnp.asarray(beam_e),
             jnp.asarray(cand_d), jnp.asarray(cand_i), ef)
-    d_b, i_b, e_b = (np.asarray(x) for x in _beam_merge(*args,
-                                                        force="bitonic"))
     d_t, i_t, e_t = (np.asarray(x) for x in _beam_merge(*args, force="topk"))
-
-    np.testing.assert_allclose(d_b, d_t)
-    live = d_b < BIG
-    np.testing.assert_array_equal(i_b[live], i_t[live])
-    np.testing.assert_array_equal(e_b[live], e_t[live])
-    # empty slots are id -1 in both variants (the >>1 of a -2/-1 payload)
-    assert (i_b[~live] == -1).all() and (i_t[~live] == -1).all()
-    # result stays ascending-sorted: the invariant the next hop relies on
-    assert (np.diff(d_b, axis=-1) >= 0).all()
+    live = d_t < BIG
+    # "sort" (the production default, force=None) and "onehot" must match
+    # the portable top_k branch exactly; both are TPU-motivated reshapes of
+    # the same selection (sort avoids lane-axis payload gathers entirely)
+    for variant in ("bitonic", "sort", None, "onehot"):
+        d_b, i_b, e_b = (np.asarray(x) for x in _beam_merge(*args,
+                                                            force=variant))
+        np.testing.assert_allclose(d_b, d_t, err_msg=str(variant))
+        np.testing.assert_array_equal(i_b[live], i_t[live])
+        np.testing.assert_array_equal(e_b[live], e_t[live])
+        # empty slots are id -1 in every variant (>>1 of a -2/-1 payload)
+        assert (i_b[~live] == -1).all() and (i_t[~live] == -1).all()
+        # result stays ascending-sorted: the next hop relies on this
+        assert (np.diff(d_b, axis=-1) >= 0).all()
 
     # the approx (approx_min_k) variant may miss members but must return an
     # ascending subset of the input union with near-total overlap, and must
