@@ -211,7 +211,7 @@ def scale_sweep(sizes):
                 hnsw, hnsw_s = measure_build(
                     lambda: build_hnsw_index(corpus, M=16))
                 entry["hnsw_build_seconds"] = round(hnsw_s, 2)
-                fam("hnsw", hnsw, ["fast", "balanced", "accurate"])
+                fam("hnsw", hnsw, ["turbo", "fast", "balanced"])
                 del hnsw
         except Exception as e:  # record, keep benching other sizes
             entry["error"] = f"{type(e).__name__}: {e}"
@@ -244,6 +244,11 @@ def main():
     flat_fast = FlatIndex(corpus, precision="bf16")
     measure_family("flat_bf16_pallas", flat_fast, data, exact, ["balanced"])
 
+    # int8 coarse scan + exact f32 re-rank: 2x MXU rate and 1/4 the scan
+    # bytes of bf16; the re-rank restores near-exact recall
+    flat_q = FlatIndex(corpus, precision="int8")
+    measure_family("flat_int8_pallas", flat_q, data, exact, ["balanced"])
+
     if remaining_s() > 0:
         # sqrt(N)-scale partition count + SOAR spill: the config where the
         # grouped probe scan skips ~90% of the corpus per query at high recall
@@ -264,8 +269,11 @@ def main():
         STATE["hnsw_build_speedup_vs_215s"] = round(
             BASELINE_BUILD_S / max(build_s, 1e-9), 1)
         STATE["hnsw_build_seconds_cold_incl_compile"] = round(build_cold_s, 3)
+        # turbo first: ef=50 already saturates this graph's recall (0.984,
+        # scripts/_probe_hop_kernel_r3b.py — identical at ef=50..150) at 2x
+        # the QPS of ef=100; best_mode stops at the first mode >= 0.98
         measure_family("hnsw", hnsw, data, exact,
-                       ["fast", "balanced", "accurate"])
+                       ["turbo", "fast", "balanced"])
 
     if remaining_s() > 0:
         try:

@@ -38,6 +38,10 @@ class IVFHNSWIndex(ANNIndex):
 
     qps_scan_safe = False  # hop-loop program: see bench/harness.py
 
+    # same budget rule as HNSWIndex: the packed-neighborhood bf16 table
+    # costs M0 x bytes(bf16 corpus) of extra HBM
+    PACK_BYTES_CAP = 6 << 30
+
     def __init__(self, corpus: Corpus, *, centroids, medoids, adj0,
                  num_partitions: int, m: int, seed: int = 42):
         super().__init__(corpus)
@@ -47,6 +51,9 @@ class IVFHNSWIndex(ANNIndex):
         self.num_partitions = num_partitions
         self.m = m
         self.seed = seed
+        self._vec_lp = None
+        self._nbr_pack = None
+        self._nbr_sq = None
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      num_probes: Optional[int] = None,
@@ -69,10 +76,35 @@ class IVFHNSWIndex(ANNIndex):
         vq = jnp.repeat(q, p, axis=0)                         # [B*p, D]
         ve = entries.reshape(-1)                              # [B*p]
         no_upper = jnp.zeros((0,) + self.adj0.shape, jnp.int32)[:, :, : self.m]
+        # same in-loop fast path as HNSWIndex.search_batch: bf16 shadow for
+        # hop scoring (cosine only; euclidean cancels at bf16) and, on TPU,
+        # the packed-neighborhood ring-DMA Pallas kernel — the per-cluster
+        # subgraphs share one global adjacency, so the machinery is identical
+        import jax
+        precision = ("default" if self.corpus.metric == Metric.COSINE
+                     else "highest")
+        if self._vec_lp is None or \
+                self._vec_lp.shape != self.corpus.vectors.shape:
+            self._vec_lp = self.corpus.vectors.astype(jnp.bfloat16)
+        m0 = self.adj0.shape[1]
+        dim = self.corpus.vectors.shape[1]
+        use_pack = precision != "highest" and (
+            self.adj0.shape[0] * m0 * (dim * 2 + 4) <= self.PACK_BYTES_CAP)
+        if use_pack and self._nbr_pack is None:
+            from hnsw_tpu.models.hnsw.search import pack_neighbors
+            self._nbr_pack, self._nbr_sq = pack_neighbors(
+                self._vec_lp, self.corpus.sq_norms, self.adj0)
+        hop_kernel = "pallas" if (
+            jax.default_backend() == "tpu" and use_pack
+            and dim % 128 == 0 and (4 * m0) % 128 == 0) else None
         d_v, r_v = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
             self.adj0, no_upper, ve, vq,
-            k=min(2 * k, ef), ef=ef, metric=self.corpus.metric)
+            k=min(2 * k, ef), ef=ef, metric=self.corpus.metric,
+            precision=precision, vectors_lp=self._vec_lp,
+            nbr_pack=self._nbr_pack if use_pack else None,
+            nbr_sq=self._nbr_sq if use_pack else None,
+            hop_kernel=hop_kernel)
         d_all = d_v.reshape(b, -1)
         r_all = r_v.reshape(b, -1)
         kk = min(k, d_all.shape[-1])

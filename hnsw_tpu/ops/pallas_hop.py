@@ -50,7 +50,9 @@ def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int, s: int):
 
         def dma(t, i, j):
             slot = jax.lax.rem(t, sq)
-            row = sel_ref[base + t * s + i, j]
+            # sel is FLAT [B*E] (a 2D SMEM operand is lane-padded 32x,
+            # blowing the 1 MB SMEM budget past ~2048 rows)
+            row = sel_ref[(base + t * s + i) * e + j]
             return pltpu.make_async_copy(
                 hbm_ref.at[row],                           # [M0, D] in HBM
                 blk.at[slot, pl.ds((i * e + j) * m0, m0), :],
@@ -151,5 +153,5 @@ def hop_score(
             jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
         ],
         interpret=interpret,
-    )(sel, q, nbr_pack)
+    )(sel.reshape(-1), q, nbr_pack)
     return dots[:b], csq[:b]
