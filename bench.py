@@ -289,6 +289,34 @@ def main():
 
     if SCALE_SIZES and remaining_s() > 0:
         scale_sweep(SCALE_SIZES)
+
+    # the remaining reference families (README.md:65-106 table parity);
+    # measured last — the headline and scale story above matter more, so a
+    # budget kill costs these first
+    from hnsw_tpu.models import (
+        build_lightning_index, build_lsh_index, build_partitioned_hnsw,
+        build_pcaf_index,
+    )
+    for name, build, modes in [
+        ("partitioned_hnsw", lambda: build_partitioned_hnsw(
+            corpus, num_partitions=8), ["balanced", "accurate", "precise"]),
+        ("lightning", lambda: build_lightning_index(corpus),
+         ["accurate", "precise"]),
+        ("pcaf", lambda: build_pcaf_index(corpus),
+         ["balanced", "accurate", "precise"]),
+        ("lsh", lambda: build_lsh_index(corpus),
+         ["accurate", "precise"]),
+    ]:
+        if remaining_s() <= 0:
+            break
+        try:
+            idx, b_s = measure_build(build)
+            STATE[f"{name}_build_seconds"] = round(b_s, 3)
+            measure_family(name, idx, data, exact, modes)
+            del idx
+        except Exception as e:
+            STATE["families"][name] = {"error": f"{type(e).__name__}: {e}"}
+            emit()
     emit()
 
 
