@@ -274,6 +274,12 @@ def main():
         # the QPS of ef=100; best_mode stops at the first mode >= 0.98
         measure_family("hnsw", hnsw, data, exact,
                        ["turbo", "fast", "balanced"])
+        # same graph, PCA-256 in-loop scoring + widened exact re-rank
+        # (models/hnsw/__init__.py pack_dim): 3x less hop HBM traffic
+        from hnsw_tpu.models import HNSWIndex
+        hnsw_pca = HNSWIndex(hnsw.corpus, hnsw.graph, pack_dim=256)
+        measure_family("hnsw_pca256", hnsw_pca, data, exact,
+                       ["turbo", "fast"])
 
     if remaining_s() > 0:
         try:
@@ -300,8 +306,8 @@ def main():
     for name, build, modes in [
         ("partitioned_hnsw", lambda: build_partitioned_hnsw(
             corpus, num_partitions=8), ["balanced", "accurate", "precise"]),
-        ("lightning", lambda: build_lightning_index(corpus),
-         ["accurate", "precise"]),
+        ("lightning", lambda: build_lightning_index(
+            corpus, partitioning="smart"), ["accurate", "precise"]),
         ("pcaf", lambda: build_pcaf_index(corpus),
          ["balanced", "accurate", "precise"]),
         ("lsh", lambda: build_lsh_index(corpus),

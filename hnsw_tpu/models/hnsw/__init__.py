@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,7 +42,8 @@ class HNSWIndex(ANNIndex):
     def __init__(self, corpus: Corpus, graph: HNSWGraph, *,
                  expand: int = 4, entry_mode: str = "sample",
                  entry_sample: int = 512, precision: str = "auto",
-                 pack: str | bool = "auto", hop_kernel: str | None = "auto"):
+                 pack: str | bool = "auto", hop_kernel: str | None = "auto",
+                 pack_dim: Optional[int] = None):
         super().__init__(corpus)
         self.graph = graph
         self.expand = expand
@@ -50,8 +52,17 @@ class HNSWIndex(ANNIndex):
         self.precision = precision
         self.pack = pack
         self.hop_kernel = hop_kernel
+        # pack_dim: score hops against a seeded random projection of the
+        # corpus (JL/PCAF-style, pcaf.clj:33-46 semantics) instead of the
+        # full-dim bf16 shadow: D/pack_dim x less hop HBM traffic, and the
+        # packed-neighbor table for corpora whose full-dim pack exceeds
+        # HBM (e.g. 500k x 768 x M0=32 bf16 = 24 GB; at 256d it is 8 GB).
+        # The final re-rank widens to ~4k beam entries at full dimension.
+        self.pack_dim = pack_dim
         self._sample_rows = None
         self._vec_lp = None
+        self._proj = None
+        self._vsq_lp = None
         self._nbr_pack = None
         self._nbr_sq = None
 
@@ -88,28 +99,62 @@ class HNSWIndex(ANNIndex):
         else:
             entries = jnp.full((q.shape[0],), self.graph.entry, jnp.int32)
             upper = self.graph.adj_upper
-        if self._vec_lp is None or \
+        lowdim = (self.pack_dim is not None and precision != "highest"
+                  and self.pack_dim < self.corpus.vectors.shape[1])
+        loop_dim = self.pack_dim if lowdim else self.corpus.vectors.shape[1]
+        queries_lp = None
+        v_sq_lp = None
+        if lowdim:
+            if self._proj is None or self._proj.shape[1] != self.pack_dim:
+                # PCA basis, not a random projection: embedding corpora are
+                # low-rank, so the top-pack_dim principal subspace preserves
+                # neighbor ordering far better than JL (measured on the
+                # 4k/768d bench corpus: PCA-256 ~0.996 recall vs JL-256
+                # ~0.91). One [D, D] device GEMM + a host eigh.
+                vf = self.corpus.vectors
+                cov = np.asarray(jnp.dot(
+                    vf.T, vf, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+                w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+                self._proj = jnp.asarray(
+                    v[:, ::-1][:, : self.pack_dim].copy())
+                self._vec_lp = None
+            if self._vec_lp is None or self._vec_lp.shape != (
+                    self.corpus.vectors.shape[0], self.pack_dim):
+                self._vec_lp = jnp.dot(
+                    self.corpus.vectors, self._proj,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.bfloat16)
+                vf = self._vec_lp.astype(jnp.float32)
+                self._vsq_lp = jnp.sum(vf * vf, axis=-1)
+                self._nbr_pack = None
+            queries_lp = jnp.dot(q, self._proj,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+            v_sq_lp = self._vsq_lp
+        elif self._vec_lp is None or \
                 self._vec_lp.shape != self.corpus.vectors.shape:
             self._vec_lp = self.corpus.vectors.astype(jnp.bfloat16)
+            self._vsq_lp = None
         # the pack is a bf16 shadow: full-f32 ("highest") scoring — the
         # euclidean auto policy — must keep exact row gathers
         use_pack = precision != "highest" and (self.pack is True or (
             self.pack == "auto"
             and self.graph.n_pad * self.graph.m0
-            * (self.corpus.vectors.shape[1] * 2 + 4) <= self.PACK_BYTES_CAP))
+            * (loop_dim * 2 + 4) <= self.PACK_BYTES_CAP))
         if use_pack and self._nbr_pack is None:
             self._nbr_pack, self._nbr_sq = pack_neighbors(
-                self._vec_lp, self.corpus.sq_norms, self.graph.adj0)
+                self._vec_lp,
+                self._vsq_lp if lowdim else self.corpus.sq_norms,
+                self.graph.adj0)
         # "auto": the ring-DMA Pallas kernel sustains ~615 GB/s on the
         # packed-neighborhood gather vs ~46 GB/s for XLA's row gather
         # (scripts/_probe_hop_kernel_r3b.py), but it needs the TPU backend,
         # the pack, and MXU/VPU-aligned shapes
         hop_kernel = self.hop_kernel
         if hop_kernel == "auto":
-            import jax
-            dim = self.corpus.vectors.shape[1]
             eligible = (jax.default_backend() == "tpu" and use_pack
-                        and dim % 128 == 0
+                        and loop_dim % 128 == 0
                         and (min(self.expand, ef) * self.graph.m0) % 128 == 0)
             hop_kernel = "pallas" if eligible else None
         d, r = hnsw_search_batch(
@@ -121,6 +166,9 @@ class HNSWIndex(ANNIndex):
             nbr_pack=self._nbr_pack if use_pack else None,
             nbr_sq=self._nbr_sq if use_pack else None,
             hop_kernel=hop_kernel,
+            queries_lp=queries_lp,
+            v_sq_lp=v_sq_lp,
+            rerank=4 * k if lowdim else 0,
         )
         return d, r
 
@@ -147,6 +195,7 @@ class HNSWIndex(ANNIndex):
                                    # (shape alone can't detect same-n_pad adds)
         self._nbr_pack = None      # adjacency changed: repack on next search
         self._nbr_sq = None
+        self._vsq_lp = None
         new_rows = np.arange(old_n, old_n + w, dtype=np.int32)
         ml = DEFAULTS["ml"]
         new_levels = assign_levels(w, ml, DEFAULTS["seed"] + old_n + seed_offset)
@@ -211,6 +260,7 @@ def build_hnsw_index(
     seed: int = DEFAULTS["seed"],
     k_cand: Optional[int] = None,
     expand: int = 4,
+    pack_dim: Optional[int] = None,
     **_ignored,
 ) -> HNSWIndex:
     """Build an HNSW index. Accepts [n, dim] arrays, [id, vec] pairs, or a
@@ -223,7 +273,7 @@ def build_hnsw_index(
         graph = build_graph(corpus, m=M, m0=max_M0,
                             ef_construction=ef_construction,
                             seed=seed, k_cand=k_cand)
-    return HNSWIndex(corpus, graph, expand=expand)
+    return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim)
 
 
 __all__ = ["HNSWIndex", "build_hnsw_index", "HNSWGraph", "build_graph",

@@ -162,7 +162,7 @@ def _dedupe_row(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("k", "ef", "expand", "max_hops", "metric",
                                    "precision", "debug_hops", "merge",
-                                   "hop_kernel"))
+                                   "hop_kernel", "rerank"))
 def hnsw_search_batch(
     vectors: jnp.ndarray,     # [N_pad, D]
     v_sq: jnp.ndarray,        # [N_pad]
@@ -189,6 +189,19 @@ def hnsw_search_batch(
     hop_kernel: str | None = None,          # "pallas": ring-DMA fused
                                             # gather+score (ops/pallas_hop);
                                             # None = XLA gather+einsum
+    queries_lp: jnp.ndarray | None = None,  # [B, D_lp] projected queries when
+                                            # vectors_lp / nbr_pack are a
+                                            # REDUCED-DIM shadow (random
+                                            # projection, PCAF-style); the
+                                            # hop loop then ranks in D_lp and
+                                            # the final re-rank restores
+                                            # exact full-dim distances
+    v_sq_lp: jnp.ndarray | None = None,     # [N_pad] squared norms of the
+                                            # reduced-dim shadow rows
+    rerank: int = 0,                        # how many beam entries the exact
+                                            # final re-rank considers
+                                            # (0 => k; use ~4k with a
+                                            # reduced-dim shadow)
 ):
     """Full hierarchy search. Returns (dists [B, k], rows [B, k]), rows=-1
     for missing. ef is honored exactly (the reference documents ef presets
@@ -211,15 +224,19 @@ def hnsw_search_batch(
         max_hops = ef // e + 12
     loop_vecs = vectors_lp if (vectors_lp is not None
                                and precision != "highest") else vectors
+    q_loop = queries_lp if (queries_lp is not None
+                            and precision != "highest") else queries
+    v_sq_loop = v_sq_lp if (v_sq_lp is not None
+                            and precision != "highest") else v_sq
 
     # ---- upper layers: greedy 1-probe descent --------------------------
     cur = jnp.broadcast_to(jnp.asarray(entries, jnp.int32), (b,))
-    d0 = _score(queries, jnp.maximum(cur[:, None], 0), loop_vecs, v_sq,
+    d0 = _score(q_loop, jnp.maximum(cur[:, None], 0), loop_vecs, v_sq_loop,
                 metric, (cur >= 0)[:, None], precision)[:, 0]
     num_upper = adj_upper.shape[0]
     for l in range(num_upper - 1, -1, -1):
-        cur, d0 = _greedy_descent(queries, cur, d0, adj_upper[l],
-                                  loop_vecs, v_sq, metric, precision)
+        cur, d0 = _greedy_descent(q_loop, cur, d0, adj_upper[l],
+                                  loop_vecs, v_sq_loop, metric, precision)
 
     # ---- layer 0: batched beam -----------------------------------------
     m0 = adj0.shape[1]
@@ -266,8 +283,8 @@ def hnsw_search_batch(
             # the Pallas kernel keeps ~ring*E copies in flight. csq comes
             # from the landed bf16 block itself (see ops/pallas_hop.py).
             from hnsw_tpu.ops.pallas_hop import hop_score
-            dots, c_sq = hop_score(nbr_pack, queries, sel_rows)
-            q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1,
+            dots, c_sq = hop_score(nbr_pack, q_loop, sel_rows)
+            q_sq = jnp.sum(q_loop.astype(jnp.float32) ** 2, axis=-1,
                            keepdims=True)
             d_nb = jnp.where(valid, _dist_bc(dots, q_sq, c_sq, metric), BIG)
         elif nbr_pack is not None:
@@ -275,15 +292,15 @@ def hnsw_search_batch(
             prec = (jax.lax.Precision.HIGHEST if precision == "highest"
                     else None)
             dots = jnp.einsum(
-                "bd,bemd->bem", queries.astype(blocks.dtype), blocks,
+                "bd,bemd->bem", q_loop.astype(blocks.dtype), blocks,
                 preferred_element_type=jnp.float32,
                 precision=prec).reshape(b, c)
-            q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1,
+            q_sq = jnp.sum(q_loop.astype(jnp.float32) ** 2, axis=-1,
                            keepdims=True)
             c_sq = jnp.take(nbr_sq, sel_rows, axis=0).reshape(b, c)
             d_nb = jnp.where(valid, _dist_bc(dots, q_sq, c_sq, metric), BIG)
         else:
-            d_nb = _score(queries, jnp.maximum(nb, 0), loop_vecs, v_sq,
+            d_nb = _score(q_loop, jnp.maximum(nb, 0), loop_vecs, v_sq_loop,
                           metric, valid, precision)            # [B, C]
         beam_d, beam_ids, beam_exp = _beam_merge(
             beam_d, beam_ids, beam_exp, d_nb, jnp.where(valid, nb, -1), ef,
@@ -293,15 +310,21 @@ def hnsw_search_batch(
     state = (beam_d, beam_ids, beam_exp, jnp.ones((b,), bool), jnp.int32(0))
     beam_d, beam_ids, _, _, hops = jax.lax.while_loop(cond, body, state)
 
-    out_d = beam_d[:, :k]
-    out_i = jnp.where(out_d < BIG, beam_ids[:, :k], -1)
+    # exact final re-rank: with a same-dim bf16 shadow the beam order is
+    # near-exact and re-scoring the top k suffices; with a REDUCED-DIM
+    # shadow the projected order is noisy, so re-rank a wider beam prefix
+    # (rerank, typically 4k) at full dimension before taking k
+    rw = min(max(rerank, k), ef)
+    out_d = beam_d[:, :rw]
+    out_i = jnp.where(out_d < BIG, beam_ids[:, :rw], -1)
     if precision != "highest":
-        # exact re-score of the survivors: reported distances are full f32
         out_d = _score(queries, jnp.maximum(out_i, 0), vectors, v_sq,
                        metric, out_i >= 0, "highest")
         out_d, sel = top_k_ascending(out_d, k)
         out_i = jnp.take_along_axis(out_i, sel, axis=-1)
         out_i = jnp.where(out_d < BIG, out_i, -1)
+    else:
+        out_d, out_i = out_d[:, :k], out_i[:, :k]
     if debug_hops:
         return out_d, out_i, hops
     return out_d, out_i

@@ -170,3 +170,26 @@ def test_clustered_builder_quality():
     _, rows = idx.search_batch(q, 10, ef=150)
     r = recall_at_k(np.asarray(rows), exact)
     assert r >= 0.9, f"clustered-build recall {r}"
+
+
+def test_reduced_dim_pca_pack_recall():
+    # pack_dim: PCA-projected in-loop scoring + full-dim exact re-rank of a
+    # widened beam prefix (models/hnsw/__init__.py lowdim path). On an
+    # embedding-shaped (low-rank) corpus the principal subspace preserves
+    # neighbor ordering, so recall must match the full-dim path.
+    from hnsw_tpu.io.datagen import generate_vectors
+    from hnsw_tpu.models import build_hnsw_index
+
+    data = generate_vectors(1024, 256, distribution="embedding",
+                            num_clusters=8, seed=11)
+    full = build_hnsw_index(data, M=8)
+    low = build_hnsw_index(data, M=8, pack_dim=128)
+    low.pack = True          # force the packed path off-TPU
+    q = data[:64]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    _, rf = full.search_batch(q, 10, "fast")
+    _, rl = low.search_batch(q, 10, "fast")
+    r_full = recall_at_k(np.asarray(rf), exact)
+    r_low = recall_at_k(np.asarray(rl), exact)
+    assert r_low >= r_full - 0.02, (r_low, r_full)
+    assert r_low >= 0.9, r_low
