@@ -261,6 +261,7 @@ def build_hnsw_index(
     k_cand: Optional[int] = None,
     expand: int = 4,
     pack_dim: Optional[int] = None,
+    large_probe_clusters: int = 2,
     **_ignored,
 ) -> HNSWIndex:
     """Build an HNSW index. Accepts [n, dim] arrays, [id, vec] pairs, or a
@@ -272,7 +273,8 @@ def build_hnsw_index(
     else:
         graph = build_graph(corpus, m=M, m0=max_M0,
                             ef_construction=ef_construction,
-                            seed=seed, k_cand=k_cand)
+                            seed=seed, k_cand=k_cand,
+                            large_probe_clusters=large_probe_clusters)
     return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim)
 
 

@@ -492,6 +492,12 @@ def build_graph(
     progress=None,          # callable(stage: str, fraction: float)
     should_continue=None,   # callable() -> bool; False aborts (BuildInterrupted)
     build_precision: str = "auto",  # "auto" | "highest" | "bf16"
+    large_probe_clusters: int = 2,  # candidate-pool breadth of the bucketed
+                                    # large-N builder (build_large.py): each
+                                    # node pools its cell + this many nearest
+                                    # cells; raise for better graph quality
+                                    # at ~linear build cost (500k recall
+                                    # caps at ~0.95 with 2)
 ) -> HNSWGraph:
     """Build the full hierarchy. k_cand is the exact-kNN candidate pool fed
     to the heuristic (the analogue of ef-construction's candidate set,
@@ -528,7 +534,8 @@ def build_graph(
             # bucketed candidate generation: bounds cost to O(N*pool*D)
             return build_layer_clustered(
                 corpus.vectors, corpus.sq_norms, members,
-                cap=cap, k_cand=kc, metric=metric, seed=seed)
+                cap=cap, k_cand=kc, metric=metric, seed=seed,
+                n_probe_clusters=large_probe_clusters)
         return build_layer(corpus.vectors, corpus.sq_norms, members,
                            cap=cap, k_cand=kc, metric=metric,
                            precision=build_precision)
