@@ -16,13 +16,19 @@ alongside). QPS is chip-sustained throughput: batches run inside one
 dispatch, excluding this dev environment's ~76 ms relay RTT per call (a real
 deployment's colocated-host dispatch overhead is microseconds).
 
-Output protocol: prints one self-contained JSON result line after EVERY
-measured family and every scale-sweep size, flush=True — the driver keeps
-the tail and the LAST line wins, so a kill at any point past the first
-family still captures everything measured so far (round 2 lost its entire
-run to a timeout because the only print was at process end). The whole run
-is budgeted: work is ordered cheapest-compile-first and each step checks the
-remaining wall-clock before starting.
+Output protocol (two channels, both updated after EVERY measured family and
+scale size so a kill at any point still captures everything so far):
+  stdout   — ONE COMPACT self-contained JSON line (<~1.5 KB: families as
+             [recall, qps] pairs, scale summary, build/latency figures).
+             The driver keeps a bounded tail of stdout and parses the LAST
+             line, so the final line must stay small: round 3 was rc=0 but
+             parsed:null because the full-detail line (~4 KB with every
+             recall_by_mode map) outgrew the tail capture.
+  file     — the FULL state (recall_by_mode sweeps, per-size family detail,
+             batch scaling) appended per emit to PROGRESS_bench_driver.jsonl
+             next to this script.
+The whole run is budgeted: work is ordered cheapest-compile-first and each
+step checks the remaining wall-clock before starting.
 """
 
 import json
@@ -39,11 +45,18 @@ RECALL_TARGET = 0.98
 BASELINE_QPS = 5376.0     # reference 20-thread peak (README.md:27)
 BASELINE_BUILD_S = 215.0  # reference sequential HNSW build (README.md:245)
 
+# family-appropriate recall bars for the MODE SWEEP (the headline pool still
+# requires >= 0.98): LSH's reference operating band is ~45% recall
+# (reference README.md:92) and IVF-HNSW's is 85-90% (README.md:99) — probing
+# those families all the way to :precise chasing 0.98 just benches them at
+# their priciest knob (round-3 weak #5).
+FAMILY_TARGET = {"lsh": 0.45, "ivf_hnsw": 0.85}
+
 # size sweep beyond the reference's published 1k/10k/31k/100k(est) curve
 # (reference README.md:241-249); override with HNSW_TPU_SCALE="n1,n2" or
-# disable with HNSW_TPU_SCALE="". 500k runs when the budget allows it.
+# disable with HNSW_TPU_SCALE="".
 SCALE_SIZES = [int(s) for s in os.environ.get(
-    "HNSW_TPU_SCALE", "100000").split(",") if s]
+    "HNSW_TPU_SCALE", "100000,500000").split(",") if s]
 
 # wall-clock budget for the whole bench run, checked before every family,
 # every mode probe, and every scale size: when exhausted, whatever has been
@@ -52,6 +65,11 @@ SCALE_SIZES = [int(s) for s in os.environ.get(
 # duration — the budget bounds STARTING new work, not preempting it)
 BUDGET_S = float(os.environ.get("HNSW_TPU_BENCH_BUDGET_S", "2100"))
 _T0 = time.perf_counter()
+
+PROGRESS_PATH = os.environ.get(
+    "HNSW_TPU_BENCH_PROGRESS",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "PROGRESS_bench_driver.jsonl"))
 
 
 def remaining_s() -> float:
@@ -68,9 +86,46 @@ STATE = {
 }
 
 
+def _compact():
+    """The <~1.5 KB summary the driver parses: headline + one [recall, qps]
+    pair per family + per-size scale digest + build/latency figures."""
+    c = {k: STATE[k] for k in (
+        "metric", "value", "unit", "vs_baseline", "headline_family",
+        "headline_recall_at_10") if k in STATE}
+    fams = {}
+    for f, r in STATE["families"].items():
+        if "recall_at_10" in r:
+            fams[f] = [r["recall_at_10"],
+                       int(r.get("qps_device") or r.get("qps_dispatched", 0))]
+        else:
+            fams[f] = "error"
+    c["families"] = fams
+    scale = {}
+    for n, e in STATE["scale"].items():
+        s = {}
+        for f, v in e.get("families", {}).items():
+            if "recall_at_10" in v:
+                s[f] = [v["recall_at_10"], int(v.get("qps_device") or 0)]
+        for key in ("best_family", "hnsw_build_seconds", "ivf_build_seconds",
+                    "skipped", "error"):
+            if key in e:
+                s[key] = e[key]
+        scale[n] = s
+    if scale:
+        c["scale"] = scale
+    for key in ("hnsw_build_seconds", "hnsw_build_speedup_vs_215s",
+                "hnsw_build_stages", "ivf_build_seconds",
+                "latency_ms_device_b1", "batch_scaling", "elapsed_s"):
+        if key in STATE:
+            c[key] = STATE[key]
+    return c
+
+
 def emit():
-    """Re-derive the headline from everything measured so far and print one
-    full JSON line (flushed). Called after every family / scale size."""
+    """Re-derive the headline from everything measured so far, append the
+    FULL state to the progress file, and print the COMPACT line (flushed).
+    Called after every family / scale size, so the last stdout line is
+    always a complete, small, parseable summary."""
     results = STATE["families"]
     eligible = {f: r for f, r in results.items()
                 if r.get("recall_at_10", 0) >= RECALL_TARGET
@@ -81,12 +136,17 @@ def emit():
         best = max(pool, key=lambda f: pool[f]["qps_device"])
         head = results[best]
         qps = head["qps_device"] or head.get("qps_dispatched", 0.0)
-        STATE["value"] = qps
+        STATE["value"] = round(qps, 1)
         STATE["vs_baseline"] = round(qps / BASELINE_QPS, 2)
         STATE["headline_family"] = best
         STATE["headline_recall_at_10"] = head["recall_at_10"]
     STATE["elapsed_s"] = round(time.perf_counter() - _T0, 1)
-    print(json.dumps(STATE), flush=True)
+    try:
+        with open(PROGRESS_PATH, "a") as f:
+            f.write(json.dumps(STATE) + "\n")
+    except OSError:
+        pass
+    print(json.dumps(_compact()), flush=True)
 
 
 def make_corpus(seed=42, n=N, dim=DIM):
@@ -101,7 +161,42 @@ def make_corpus(seed=42, n=N, dim=DIM):
                             num_clusters=64, seed=seed)
 
 
-def best_mode(idx, data, exact, modes, recall_queries=1024):
+def make_corpus_device(seed, n, dim, num_clusters=64):
+    """Device-side twin of make_corpus's "embedding" recipe for the scale
+    sweep: generating 500k x 768 on the 1-core host costs ~118 s and the
+    1.5 GB host->device staging another ~90 s through the dev relay
+    (round-3 PROGRESS_bench_500k_hnsw.jsonl); on-device generation makes
+    corpus staging seconds. Returns (Corpus, host query sample [4096, dim])."""
+    import jax
+    import jax.numpy as jnp
+    from hnsw_tpu.types import LANE, Corpus, round_up
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(seed), 5)
+    r = max(min(dim, 32), dim // 8)
+    centers = jax.random.normal(k1, (num_clusters, r), jnp.float32)
+    centers /= jnp.maximum(
+        jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    p = jnp.arange(1, num_clusters + 1, dtype=jnp.float32) ** -0.7
+    assign = jax.random.choice(k2, num_clusters, (n,), p=p / p.sum())
+    resid = jax.random.normal(k3, (n, r), jnp.float32)
+    resid /= jnp.maximum(jnp.linalg.norm(resid, axis=1, keepdims=True), 1e-12)
+    a = 0.72
+    z = a * jnp.take(centers, assign, axis=0) + float(np.sqrt(1 - a * a)) * resid
+    proj = jax.random.normal(k4, (r, dim), jnp.float32) / float(np.sqrt(r))
+    x = z @ proj + 0.02 * jax.random.normal(k5, (n, dim), jnp.float32)
+    x /= jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n_pad = round_up(n, 8)
+    d_pad = round_up(dim, LANE)
+    vec = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :dim].set(x)
+    corpus = Corpus(vectors=vec, sq_norms=jnp.sum(vec * vec, axis=-1),
+                    n=n, dim=dim)
+    corpus.vectors.block_until_ready()
+    sample = np.asarray(jax.device_get(x[:4096]))
+    return corpus, sample
+
+
+def best_mode(idx, data, exact, modes, recall_queries=1024,
+              target=RECALL_TARGET):
     """Cheapest mode meeting the recall bar; falls back to the best seen.
     Returns (mode, recall, {mode: recall} for every mode probed). Stops
     probing further modes when the run budget is exhausted. recall_queries
@@ -119,20 +214,35 @@ def best_mode(idx, data, exact, modes, recall_queries=1024):
         probed[str(mode)] = round(float(r), 4)
         if best is None or r > best[1]:
             best = (mode, r)
-        if r >= RECALL_TARGET or remaining_s() <= 0:
+        if r >= target or remaining_s() <= 0:
             break
     return best[0], best[1], probed
 
 
-def measure_family(name, idx, data, exact, modes, *, batch=1024, iters=10):
+def measure_family(name, idx, data, exact, modes, *, batch=1024, iters=10,
+                   latency_b1=False):
     """Recall (mode sweep) + throughput for one family; records the result
-    in STATE and emits. Any failure is recorded, never fatal."""
+    in STATE and emits. Any failure is recorded, never fatal.
+    latency_b1 additionally measures the device-sustained time of a b=1
+    batch of the already-compiled program (the reference's flagship metric
+    is 0.186 ms single-query, README.md:27; a per-call synced loop on the
+    dev relay would measure only the ~76 ms RTT, so this is the one-batch
+    slope instead)."""
     from hnsw_tpu.bench.harness import run_search_benchmark
     try:
         if name == "flat":
             mode, recall, probed = "balanced", 1.0, {"balanced": 1.0}
+        elif name.startswith("flat"):
+            mode = "balanced"
+            from hnsw_tpu.bench.harness import run_recall_benchmark
+            rec = run_recall_benchmark(idx, data, k=K, mode=mode,
+                                       num_queries=batch, exact_index=exact)
+            recall = rec["recall_at_k"]
+            probed = {mode: round(float(recall), 4)}
         else:
-            mode, recall, probed = best_mode(idx, data, exact, modes)
+            mode, recall, probed = best_mode(
+                idx, data, exact, modes, target=FAMILY_TARGET.get(
+                    name, RECALL_TARGET))
         perf = run_search_benchmark(idx, data[:batch], k=K, mode=mode,
                                     batch_size=batch, warmup=2, iters=iters,
                                     single_query_iters=0)
@@ -143,8 +253,41 @@ def measure_family(name, idx, data, exact, modes, *, batch=1024, iters=10):
             "qps_device": round(perf.get("qps_device") or 0.0, 1),
             "qps_dispatched": round(perf["qps_batched"], 1),
         }
+        if latency_b1 and remaining_s() > 0:
+            lat = run_search_benchmark(idx, data[:1], k=K, mode=mode,
+                                       batch_size=1, warmup=2, iters=4,
+                                       single_query_iters=0)
+            if lat.get("qps_device"):
+                ms = 1e3 / lat["qps_device"]
+                STATE["families"][name]["latency_ms_device_b1"] = round(ms, 3)
+                STATE.setdefault("latency_ms_device_b1", {})[name] = round(ms, 3)
     except Exception as e:
         STATE["families"][name] = {"error": f"{type(e).__name__}: {e}"}
+    emit()
+
+
+def batch_scaling(idx, data, *, mode="balanced",
+                  batches=(8, 64, 256, 1024, 4096)):
+    """QPS vs batch size for one family — the TPU analogue of the
+    reference's thread-scaling table (BENCHMARK_SUMMARY.md:24-30: 1t 877 ..
+    20t 5,376). Appends [batch, qps_device] rows to STATE."""
+    from hnsw_tpu.bench.harness import run_search_benchmark
+    rows = []
+    qpool = np.asarray(data, np.float32)
+    for b in batches:
+        if remaining_s() <= 0:
+            break
+        qb = qpool[: min(b, len(qpool))]
+        if len(qb) < b:   # tile the pool up to the batch size
+            qb = np.tile(qpool, (b // len(qpool) + 1, 1))[:b]
+        try:
+            perf = run_search_benchmark(idx, qb, k=K, mode=mode, batch_size=b,
+                                        warmup=2, iters=4,
+                                        single_query_iters=0)
+            rows.append([b, int(perf.get("qps_device") or 0)])
+        except Exception:
+            rows.append([b, 0])
+    STATE["batch_scaling"] = rows
     emit()
 
 
@@ -153,14 +296,12 @@ def scale_sweep(sizes):
     scale story (reference README.md:241-249 size sweep; its 100k row is an
     estimate, ours is measured). Every size is best-effort and emits its
     entry as soon as each family inside it is measured."""
-    from hnsw_tpu.bench.harness import (
-        measure_build, run_recall_benchmark, run_search_benchmark,
-    )
+    from hnsw_tpu.bench.harness import measure_build, run_search_benchmark
     from hnsw_tpu.models import build_hnsw_index, build_ivf_flat_index
     from hnsw_tpu.models.flat import FlatIndex
     from hnsw_tpu.types import Corpus
 
-    for n in sizes:
+    for n in sorted(sizes):
         if remaining_s() <= 0:
             STATE["scale"][str(n)] = {
                 "skipped": "bench wall-clock budget exhausted"}
@@ -170,9 +311,12 @@ def scale_sweep(sizes):
         STATE["scale"][str(n)] = entry
         try:
             t0 = time.perf_counter()
-            data = make_corpus(seed=7, n=n, dim=DIM)
-            corpus = Corpus.from_array(data)
-            corpus.vectors.block_until_ready()
+            if n >= 200_000:
+                corpus, data = make_corpus_device(7, n, DIM)
+            else:
+                data = make_corpus(seed=7, n=n, dim=DIM)
+                corpus = Corpus.from_array(data)
+                corpus.vectors.block_until_ready()
             entry["stage_seconds"] = round(time.perf_counter() - t0, 1)
             exact = FlatIndex(corpus)
             flat_fast = FlatIndex(corpus, precision="bf16")
@@ -201,15 +345,29 @@ def scale_sweep(sizes):
                 emit()
 
             fam("flat_bf16_pallas", flat_fast, ["balanced"])
-            if remaining_s() > 0:
+            # int8's 4x byte advantage over f32 (2x over bf16) matters most
+            # here, where the scan is HBM-bound (round-3 weak #3)
+            fam("flat_int8_pallas", FlatIndex(corpus, precision="int8"),
+                ["balanced"])
+            if remaining_s() > 0 and n <= 150_000:
+                # beyond ~150k the balanced-k-means IVF build is dominated by
+                # host-side assignment (~1,400 s at 500k, round-3 memory) —
+                # budget goes to the graph family instead
                 ivf, ivf_s = measure_build(lambda: build_ivf_flat_index(
                     corpus, num_partitions=max(64, int(n ** 0.5)), spill=1))
                 entry["ivf_build_seconds"] = round(ivf_s, 2)
                 fam("ivf_flat", ivf, ["balanced", "accurate", "precise"])
                 del ivf
             if remaining_s() > 0:
+                # at large N: PCA-128 packed hop scoring (full-dim pack is
+                # ~24 GB at 500k — exceeds HBM) + a wider bucketed-builder
+                # candidate pool for graph quality (round-3's 500k recall
+                # capped at 0.927 with the default pool)
+                kw = dict(M=16)
+                if n > 150_000:
+                    kw.update(pack_dim=128, large_probe_clusters=4)
                 hnsw, hnsw_s = measure_build(
-                    lambda: build_hnsw_index(corpus, M=16))
+                    lambda: build_hnsw_index(corpus, **kw))
                 entry["hnsw_build_seconds"] = round(hnsw_s, 2)
                 fam("hnsw", hnsw, ["turbo", "fast", "balanced"])
                 del hnsw
@@ -242,12 +400,18 @@ def main():
     measure_family("flat", exact, data, exact, ["balanced"])
 
     flat_fast = FlatIndex(corpus, precision="bf16")
-    measure_family("flat_bf16_pallas", flat_fast, data, exact, ["balanced"])
+    measure_family("flat_bf16_pallas", flat_fast, data, exact, ["balanced"],
+                   latency_b1=True)
 
     # int8 coarse scan + exact f32 re-rank: 2x MXU rate and 1/4 the scan
     # bytes of bf16; the re-rank restores near-exact recall
     flat_q = FlatIndex(corpus, precision="int8")
     measure_family("flat_int8_pallas", flat_q, data, exact, ["balanced"])
+
+    if remaining_s() > 0:
+        # the thread-scaling analogue: QPS vs batch size on the headline
+        # kernel (BENCHMARK_SUMMARY.md:24-30)
+        batch_scaling(flat_fast, data)
 
     if remaining_s() > 0:
         # sqrt(N)-scale partition count + SOAR spill: the config where the
@@ -256,24 +420,40 @@ def main():
             lambda: build_ivf_flat_index(corpus, num_partitions=128, spill=1))
         STATE["ivf_build_seconds"] = round(ivf_build_s, 3)
         measure_family("ivf_flat", ivf, data, exact,
-                       ["balanced", "accurate", "precise"])
+                       ["balanced", "accurate", "precise"], latency_b1=True)
 
     if remaining_s() > 0:
-        hnsw, build_cold_s = measure_build(
-            lambda: build_hnsw_index(corpus, M=16))
+        stage_t = {}
+
+        def _build(**kw):
+            marks = []
+            g = build_hnsw_index(
+                corpus, M=16,
+                progress=lambda s, f: marks.append((s, f, time.perf_counter())),
+                **kw)
+            # tick timestamps -> per-stage durations (layer0 / upper / repair)
+            for (s0, f0, t0), (_, _, t1) in zip(marks, marks[1:]):
+                key = ("upper" if s0.startswith("layer") and s0 != "layer0"
+                       else s0)
+                stage_t[key] = round(stage_t.get(key, 0.0) + (t1 - t0), 3)
+            return g
+
+        hnsw, build_cold_s = measure_build(_build)
         # warm build = sustained rebuild rate: same kernels, compilation
         # already done (first build includes one-time XLA compilation, which
         # the persistent cache absorbs on subsequent processes)
-        _, build_s = measure_build(lambda: build_hnsw_index(corpus, M=16))
+        stage_t.clear()
+        _, build_s = measure_build(_build)
         STATE["hnsw_build_seconds"] = round(build_s, 3)
         STATE["hnsw_build_speedup_vs_215s"] = round(
             BASELINE_BUILD_S / max(build_s, 1e-9), 1)
         STATE["hnsw_build_seconds_cold_incl_compile"] = round(build_cold_s, 3)
+        STATE["hnsw_build_stages"] = dict(stage_t)
         # turbo first: ef=50 already saturates this graph's recall (0.984,
         # scripts/_probe_hop_kernel_r3b.py — identical at ef=50..150) at 2x
         # the QPS of ef=100; best_mode stops at the first mode >= 0.98
         measure_family("hnsw", hnsw, data, exact,
-                       ["turbo", "fast", "balanced"])
+                       ["turbo", "fast", "balanced"], latency_b1=True)
         # same graph, PCA-256 in-loop scoring + widened exact re-rank
         # (models/hnsw/__init__.py pack_dim): 3x less hop HBM traffic
         from hnsw_tpu.models import HNSWIndex

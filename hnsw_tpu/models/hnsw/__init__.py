@@ -262,6 +262,8 @@ def build_hnsw_index(
     expand: int = 4,
     pack_dim: Optional[int] = None,
     large_probe_clusters: int = 2,
+    progress=None,
+    should_continue=None,
     **_ignored,
 ) -> HNSWIndex:
     """Build an HNSW index. Accepts [n, dim] arrays, [id, vec] pairs, or a
@@ -274,7 +276,8 @@ def build_hnsw_index(
         graph = build_graph(corpus, m=M, m0=max_M0,
                             ef_construction=ef_construction,
                             seed=seed, k_cand=k_cand,
-                            large_probe_clusters=large_probe_clusters)
+                            large_probe_clusters=large_probe_clusters,
+                            progress=progress, should_continue=should_continue)
     return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim)
 
 
