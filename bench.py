@@ -365,7 +365,8 @@ def scale_sweep(sizes):
                 # capped at 0.927 with the default pool)
                 kw = dict(M=16)
                 if n > 150_000:
-                    kw.update(pack_dim=128, large_probe_clusters=4)
+                    kw.update(pack_dim=128, large_probe_clusters=4,
+                              large_refine_rounds=2)
                 hnsw, hnsw_s = measure_build(
                     lambda: build_hnsw_index(corpus, **kw))
                 entry["hnsw_build_seconds"] = round(hnsw_s, 2)

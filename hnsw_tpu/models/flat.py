@@ -154,10 +154,18 @@ class FlatIndex(ANNIndex):
     family = "flat"
 
     def __init__(self, corpus: Corpus, *, precision: str = "f32",
-                 tile: int = DEFAULT_TILE, scan_kernel: str = "auto"):
+                 tile: int = DEFAULT_TILE, scan_kernel: str = "auto",
+                 int8_fetch: int | None = None):
         super().__init__(corpus)
         self.precision = precision
         self.tile = tile
+        # int8 path: how many coarse candidates the exact f32 re-rank
+        # considers (None = auto, max(3k, k+8)). The re-rank's scattered-row
+        # gather is the int8 path's overhead (round-3: 701k QPS measured vs
+        # the kernel's 1.98M coarse rate); a tighter fetch trades a little
+        # tail recall for throughput. fetch <= k still re-scores the k
+        # returned rows so reported distances stay exact.
+        self.int8_fetch = int8_fetch
         # "auto" | "bucket" | "sweep": which fused Pallas selection kernel
         # the bf16/int8 paths use. The bucketed kernel (one tree-reduction
         # per tile, exact up to 3-way bucket collisions ~1e-3/query at k=10)
@@ -260,7 +268,7 @@ class FlatIndex(ANNIndex):
                 tile=self.tile, precision="f32", row_mask=mask)
         if self.precision == "int8" and self.corpus.n > 0:
             from hnsw_tpu.ops import pallas_scan
-            fetch = max(3 * k, k + 8)
+            fetch = max(self.int8_fetch or max(3 * k, k + 8), k)
             if jax.default_backend() == "tpu" and pallas_scan.supported(fetch):
                 return self._int8_pallas(q, k, fetch)
             v8, vscale = self._get_int8_arrays()
@@ -304,15 +312,18 @@ class FlatIndex(ANNIndex):
 
     def to_state(self) -> Dict[str, Any]:
         return {"params": {"precision": self.precision, "tile": self.tile,
-                           "scan_kernel": self.scan_kernel},
+                           "scan_kernel": self.scan_kernel,
+                           "int8_fetch": self.int8_fetch},
                 "arrays": {}}
 
     @classmethod
     def from_state(cls, corpus: Corpus, state: Dict[str, Any]) -> "FlatIndex":
         p = state.get("params", {})
+        f = p.get("int8_fetch")
         return cls(corpus, precision=p.get("precision", "f32"),
                    tile=int(p.get("tile", DEFAULT_TILE)),
-                   scan_kernel=str(p.get("scan_kernel", "auto")))
+                   scan_kernel=str(p.get("scan_kernel", "auto")),
+                   int8_fetch=int(f) if f is not None else None)
 
     def search_filtered(self, query, k, predicate, mode=Mode.BALANCED,
                         overfetch: int = 3):

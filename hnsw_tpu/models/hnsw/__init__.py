@@ -153,9 +153,10 @@ class HNSWIndex(ANNIndex):
         # the pack, and MXU/VPU-aligned shapes
         hop_kernel = self.hop_kernel
         if hop_kernel == "auto":
+            from hnsw_tpu.ops.pallas_hop import hop_score_eligible
             eligible = (jax.default_backend() == "tpu" and use_pack
-                        and loop_dim % 128 == 0
-                        and (min(self.expand, ef) * self.graph.m0) % 128 == 0)
+                        and hop_score_eligible(loop_dim, self.graph.m0,
+                                               expand=self.expand, ef=ef))
             hop_kernel = "pallas" if eligible else None
         d, r = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
@@ -168,7 +169,11 @@ class HNSWIndex(ANNIndex):
             hop_kernel=hop_kernel,
             queries_lp=queries_lp,
             v_sq_lp=v_sq_lp,
-            rerank=4 * k if lowdim else 0,
+            # bf16 shadow scoring reorders near-ties (~0.4% relative vector
+            # rounding); re-ranking a 4k beam prefix exactly recovers them
+            # (measured: partitioned 0.896 -> 1.0 at ef=50) for one small
+            # out-of-loop gather
+            rerank=4 * k,
         )
         return d, r
 
@@ -196,6 +201,9 @@ class HNSWIndex(ANNIndex):
         self._nbr_pack = None      # adjacency changed: repack on next search
         self._nbr_sq = None
         self._vsq_lp = None
+        self._proj = None          # PCA basis must track the grown corpus —
+                                   # a stale basis silently erodes pack_dim
+                                   # recall as the data distribution drifts
         new_rows = np.arange(old_n, old_n + w, dtype=np.int32)
         ml = DEFAULTS["ml"]
         new_levels = assign_levels(w, ml, DEFAULTS["seed"] + old_n + seed_offset)
@@ -262,6 +270,7 @@ def build_hnsw_index(
     expand: int = 4,
     pack_dim: Optional[int] = None,
     large_probe_clusters: int = 2,
+    large_refine_rounds: int = 1,
     progress=None,
     should_continue=None,
     **_ignored,
@@ -277,6 +286,7 @@ def build_hnsw_index(
                             ef_construction=ef_construction,
                             seed=seed, k_cand=k_cand,
                             large_probe_clusters=large_probe_clusters,
+                            large_refine_rounds=large_refine_rounds,
                             progress=progress, should_continue=should_continue)
     return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim)
 

@@ -56,11 +56,13 @@ class BuildInterrupted(Exception):
 # neighbor-selection heuristic (graph.clj:163-201), vectorized
 # ---------------------------------------------------------------------------
 
-def _heuristic_impl(cand_ids, cand_d, pair_d, *, cap, keep_pruned=True):
+def _heuristic_impl(cand_ids, cand_d, pair_d, *, cap, keep_pruned=True,
+                    return_d=False):
     """Traceable core of heuristic_select. Returns sel_ids [T, cap]
-    (-1 padded). Candidate j is selected iff it is closer to the node than
-    to every already-selected candidate; pruned candidates refill spare
-    slots in ascending order when keep_pruned."""
+    (-1 padded), plus the selected candidates' distances when return_d.
+    Candidate j is selected iff it is closer to the node than to every
+    already-selected candidate; pruned candidates refill spare slots in
+    ascending order when keep_pruned."""
     t, kk = cand_ids.shape
     valid = cand_ids >= 0
 
@@ -78,13 +80,18 @@ def _heuristic_impl(cand_ids, cand_d, pair_d, *, cap, keep_pruned=True):
     if not keep_pruned:
         key = jnp.where(sel_mask, key, 4.0 * kk)
     key = jnp.where(valid, key, 8.0 * kk)              # invalid last
-    _, pos = top_k_ascending(key, min(cap, kk))
-    out = jnp.take_along_axis(cand_ids, pos, axis=-1)
-    out_key = jnp.take_along_axis(key, pos, axis=-1)
-    out = jnp.where(out_key < 4.0 * kk, out, -1)
+    # variadic sort carrying the ids INSIDE the sort network: top_k +
+    # take_along_axis payload gathers lower to serial per-element dynamic
+    # slices inside scan/loop bodies on TPU (the same pathology the beam
+    # merge hit — search.py _beam_merge)
+    key_s, ids_s, d_s = jax.lax.sort((key, cand_ids, cand_d), num_keys=1)
+    keep = key_s[:, :cap] < 4.0 * kk
+    out = jnp.where(keep, ids_s[:, :cap], -1)
+    out_d = jnp.where(keep, d_s[:, :cap], BIG)
     if kk < cap:
         out = jnp.pad(out, ((0, 0), (0, cap - kk)), constant_values=-1)
-    return out
+        out_d = jnp.pad(out_d, ((0, 0), (0, cap - kk)), constant_values=BIG)
+    return (out, out_d) if return_d else out
 
 
 @partial(jax.jit, static_argnames=("cap", "keep_pruned"))
@@ -243,6 +250,50 @@ def _pow2_at_least(x: int, floor: int) -> int:
     return p
 
 
+def build_layer_dispatch(
+    vectors: jnp.ndarray,     # [N_pad, D] global corpus
+    member_rows: np.ndarray,  # [ns] global row ids in this layer
+    *,
+    cap: int,
+    k_cand: int,
+    metric: Metric,
+    tile: int = BUILD_TILE,
+    precision: str = "highest",
+):
+    """ASYNC device-layer build: queue the one-dispatch layer program and
+    return (device LOCAL-id adjacency [ns_pad, cap], member_rows) WITHOUT
+    fetching. Dispatching every layer before fetching any overlaps the
+    per-layer host<->device sync (on a relay-tunneled dev setup each
+    synchronous fetch costs ~76 ms + transfer; a 31k hierarchy has ~7
+    device layers)."""
+    ns = len(member_rows)
+    member_rows = np.asarray(member_rows, np.int32)
+    ns_pad = _pow2_at_least(ns, 2 * HOST_LAYER_MAX)
+    rows_padded = np.zeros(ns_pad, np.int32)
+    rows_padded[:ns] = member_rows
+    sub = jnp.take(vectors, jnp.asarray(rows_padded), axis=0)   # [ns_pad, D]
+    mask = (jnp.arange(ns_pad) < ns)[:, None]
+    sub = jnp.where(mask, sub, 0.0)
+    kq = min(k_cand + 1, ns)  # +1: self will be dropped
+    dev = _layer_fused(sub, ns, cap=cap, kq=kq, metric=metric,
+                       tile=min(tile, ns_pad), precision=precision)
+    if ns_pad <= 32768:
+        # local ids fit int16 (max id = ns_pad-1 = 32767): halves the
+        # device->host adjacency transfer, which is ~0.4 s of a warm 31k
+        # build on the relay
+        dev = dev.astype(jnp.int16)
+    return dev, member_rows
+
+
+def finish_layer(dev, member_rows: np.ndarray) -> np.ndarray:
+    """Fetch a build_layer_dispatch result and map LOCAL ids to GLOBAL."""
+    ns = len(member_rows)
+    out_local = np.asarray(dev).astype(np.int32)[:ns]
+    return np.where(out_local >= 0,
+                    member_rows[np.maximum(out_local, 0)],
+                    NONE).astype(np.int32)
+
+
 def build_layer(
     vectors: jnp.ndarray,     # [N_pad, D] global corpus
     v_sq: jnp.ndarray,
@@ -276,21 +327,10 @@ def build_layer(
     # the traced n argument and self/valid checks downstream). The entire
     # layer — tile scan, heuristic, reverse edges, re-prune — is ONE jitted
     # dispatch; the only host transfer is the final adjacency fetch.
-    ns_pad = _pow2_at_least(ns, 2 * HOST_LAYER_MAX)
-    rows_padded = np.zeros(ns_pad, np.int32)
-    rows_padded[:ns] = member_rows
-    sub = jnp.take(vectors, jnp.asarray(rows_padded), axis=0)   # [ns_pad, D]
-    mask = (jnp.arange(ns_pad) < ns)[:, None]
-    sub = jnp.where(mask, sub, 0.0)
-    kq = min(k_cand + 1, ns)  # +1: self will be dropped
-
-    out_local = np.asarray(_layer_fused(sub, ns, cap=cap, kq=kq,
-                                        metric=metric, tile=min(tile, ns_pad),
-                                        precision=precision))
-    out_local = out_local[:ns]
-    out = np.where(out_local >= 0,
-                   member_rows[np.maximum(out_local, 0)], NONE).astype(np.int32)
-    return out
+    dev, rows = build_layer_dispatch(vectors, member_rows, cap=cap,
+                                     k_cand=k_cand, metric=metric, tile=tile,
+                                     precision=precision)
+    return finish_layer(dev, rows)
 
 
 def _select_impl(node_vecs, cand_ids, vectors, v_sq, self_ids, *, cap,
@@ -306,9 +346,10 @@ def _select_impl(node_vecs, cand_ids, vectors, v_sq, self_ids, *, cap,
 
     d = gather_score(node_vecs, jnp.maximum(cand_ids, 0), vectors, v_sq,
                      metric=metric, valid=valid)
-    d_sorted, pos = top_k_ascending(d, c)
-    ids_sorted = jnp.where(d_sorted < BIG,
-                           jnp.take_along_axis(cand_ids, pos, axis=-1), -1)
+    # variadic sort (ids ride the sort network) instead of top_k +
+    # take_along_axis — see _heuristic_impl
+    d_sorted, ids_sorted = jax.lax.sort((d, cand_ids), num_keys=1)
+    ids_sorted = jnp.where(d_sorted < BIG, ids_sorted, -1)
     gat = jnp.take(vectors, jnp.maximum(ids_sorted, 0), axis=0)
     gsq = jnp.take(v_sq, jnp.maximum(ids_sorted, 0), axis=0)
     pair_d = _pairwise_among_impl(gat, gsq, metric, precision)
@@ -316,9 +357,24 @@ def _select_impl(node_vecs, cand_ids, vectors, v_sq, self_ids, *, cap,
                            keep_pruned=keep_pruned)
 
 
-def _reverse_device(fwd: jnp.ndarray, rev_cap: int) -> jnp.ndarray:
+def _select_sorted_impl(cand_ids, cand_d, sub_lp, sub_sq, *, cap, metric,
+                        precision="bf16"):
+    """Selection for candidates that are ALREADY exactly scored and
+    ascending (pass1's top-k output; pass2's carried distances): one
+    pairwise gather + the heuristic. Skips _select_impl's re-scoring
+    gather_score — at 31k that gather (~2M scattered rows per pass) was
+    the single largest cost of the fused layer program."""
+    gat = jnp.take(sub_lp, jnp.maximum(cand_ids, 0), axis=0)
+    gsq = jnp.take(sub_sq, jnp.maximum(cand_ids, 0), axis=0)
+    pair_d = _pairwise_among_impl(gat, gsq, metric, precision)
+    return _heuristic_impl(cand_ids, cand_d, pair_d, cap=cap, return_d=True)
+
+
+def _reverse_device(fwd: jnp.ndarray, fwd_d: jnp.ndarray, rev_cap: int):
     """Device-side reverse-edge collection: the jnp twin of
-    reverse_candidates. fwd: [ns_pad, cap] -> rev [ns_pad, rev_cap]."""
+    reverse_candidates, carrying each edge's (symmetric) distance so the
+    re-prune pass needs no re-scoring. fwd: [ns_pad, cap] ->
+    (rev [ns_pad, rev_cap], rev_d [ns_pad, rev_cap])."""
     ns_pad, cap = fwd.shape
     e = ns_pad * cap
     dst = fwd.reshape(-1)
@@ -329,6 +385,7 @@ def _reverse_device(fwd: jnp.ndarray, rev_cap: int) -> jnp.ndarray:
     order = jnp.argsort(key, stable=True)
     dst_s = jnp.take(dst, order)
     src_s = jnp.take(src, order)
+    d_s = jnp.take(fwd_d.reshape(-1), order)
     first = jnp.searchsorted(dst_s, dst_s, side="left")
     pos = jnp.arange(e, dtype=jnp.int32) - first.astype(jnp.int32)
     ok = (dst_s >= 0) & (pos < rev_cap)
@@ -336,7 +393,9 @@ def _reverse_device(fwd: jnp.ndarray, rev_cap: int) -> jnp.ndarray:
     col = jnp.where(ok, pos, rev_cap)
     rev = jnp.full((ns_pad + 1, rev_cap + 1), NONE, jnp.int32)
     rev = rev.at[row, col].set(src_s)
-    return rev[:ns_pad, :rev_cap]
+    rev_d = jnp.full((ns_pad + 1, rev_cap + 1), BIG)
+    rev_d = rev_d.at[row, col].set(d_s)
+    return rev[:ns_pad, :rev_cap], rev_d[:ns_pad, :rev_cap]
 
 
 @partial(jax.jit, static_argnames=("cap", "kq", "metric", "tile",
@@ -372,33 +431,58 @@ def _layer_fused(sub: jnp.ndarray, n, *, cap: int, kq: int, metric: Metric,
         start = ti * tile
         q = jax.lax.dynamic_slice_in_dim(sub, start, tile, 0)
         dist = score_tile(q)
+        selfi = start + jnp.arange(tile, dtype=jnp.int32)
+        # mask self before top-k: the kq candidates are then all real and
+        # ALREADY exactly scored + ascending + unique, so selection needs
+        # no re-scoring gather, no dedupe, and no sort (_select_sorted_impl)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, ns_pad), 1)
+        dist = jnp.where(cols == selfi[:, None], BIG, dist)
         d_cand, cand = top_k_ascending(dist, kq)
         # kq may exceed the real member count (stacked multi-partition
         # builds share one static kq): BIG-distance slots are padding rows,
         # not candidates
         cand = jnp.where(d_cand < BIG, cand, -1)
-        selfi = start + jnp.arange(tile, dtype=jnp.int32)
-        sel = _select_impl(q, cand, sub, sub_sq, selfi, cap=cap,
-                           metric=metric, precision=precision)
+        sel, sel_d = _select_sorted_impl(cand, d_cand, sub_lp, sub_sq,
+                                         cap=cap, metric=metric,
+                                         precision=precision)
         # padding query rows must not emit edges (they would leak back in
         # as reverse-edge sources)
-        sel = jnp.where((selfi < n)[:, None], sel, -1)
-        return 0, sel
+        live = (selfi < n)[:, None]
+        return 0, (jnp.where(live, sel, -1), jnp.where(live, sel_d, BIG))
 
-    _, fwd = jax.lax.scan(pass1, 0, jnp.arange(num_tiles, dtype=jnp.int32))
+    _, (fwd, fwd_d) = jax.lax.scan(pass1, 0,
+                                   jnp.arange(num_tiles, dtype=jnp.int32))
     fwd = fwd.reshape(ns_pad, cap)
-    rev = _reverse_device(fwd, rev_cap=cap)
+    fwd_d = fwd_d.reshape(ns_pad, cap)
+    rev, rev_d = _reverse_device(fwd, fwd_d, rev_cap=cap)
+
+    big_id = jnp.int32(1 << 30)
 
     def pass2(_, ti):
+        # symmetrize: [fwd ++ rev] with carried distances (edge distances
+        # are metric-symmetric, so reverse edges inherit the forward score)
+        # -> id-sort dedupe -> distance sort -> heuristic re-prune
         start = ti * tile
-        q = jax.lax.dynamic_slice_in_dim(sub, start, tile, 0)
         cand = jnp.concatenate([
             jax.lax.dynamic_slice_in_dim(fwd, start, tile, 0),
             jax.lax.dynamic_slice_in_dim(rev, start, tile, 0),
         ], axis=1)
+        cd = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(fwd_d, start, tile, 0),
+            jax.lax.dynamic_slice_in_dim(rev_d, start, tile, 0),
+        ], axis=1)
         selfi = start + jnp.arange(tile, dtype=jnp.int32)
-        sel = _select_impl(q, cand, sub, sub_sq, selfi, cap=cap,
-                           metric=metric, precision=precision)
+        valid = (cand >= 0) & (cand != selfi[:, None])
+        key_id = jnp.where(valid, cand, big_id)
+        si, sd = jax.lax.sort((key_id, cd), num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((tile, 1), bool), si[:, 1:] == si[:, :-1]], axis=1)
+        sd = jnp.where(dup | (si >= big_id), BIG, sd)
+        sd2, si2 = jax.lax.sort((sd, si), num_keys=1)
+        cand2 = jnp.where(sd2 < BIG, si2, -1)
+        sel, _ = _select_sorted_impl(cand2, sd2, sub_lp, sub_sq,
+                                     cap=cap, metric=metric,
+                                     precision=precision)
         return 0, sel
 
     _, out = jax.lax.scan(pass2, 0, jnp.arange(num_tiles, dtype=jnp.int32))
@@ -498,6 +582,11 @@ def build_graph(
                                     # cells; raise for better graph quality
                                     # at ~linear build cost (500k recall
                                     # caps at ~0.95 with 2)
+    large_refine_rounds: int = 1,   # NN-descent polish rounds after the
+                                    # bucketed build (build_large.py
+                                    # _refine_fused): probes=4 + 2 rounds
+                                    # measured 0.997 edge-recall@16 vs 0.958
+                                    # for probes=4 alone
 ) -> HNSWGraph:
     """Build the full hierarchy. k_cand is the exact-kNN candidate pool fed
     to the heuristic (the analogue of ef-construction's candidate set,
@@ -515,9 +604,16 @@ def build_graph(
     metric = metric or corpus.metric
     k_cand = k_cand or min(max(2 * m0, 48), 192)
     if build_precision == "auto":
-        # 6-pass f32 candidate scoring is exact but 6x the MXU work; above
-        # ~50k rows the bf16 single pass wins with negligible quality cost
-        build_precision = "highest" if n <= 50000 else "bf16"
+        # single-pass bf16 MXU scoring is 6x cheaper than 6-pass f32 and
+        # candidate sets are rank-robust to the ~1e-3 error (validated by
+        # test_hnsw.py:test_bf16_build_precision_quality) — use it for
+        # cosine at every size. The euclidean norm formula cancels
+        # catastrophically at bf16, so it keeps exact f32 until the N^2
+        # cost forces the trade above ~50k rows.
+        if metric == Metric.COSINE or n > 50000:
+            build_precision = "bf16"
+        else:
+            build_precision = "highest"
 
     levels_np = assign_levels(n, ml, seed,
                               max_cap=max(int(math.log2(max(n, 2))), 1))
@@ -526,40 +622,59 @@ def build_graph(
     levels = np.full((n_pad,), NONE, np.int32)
     levels[:n] = levels_np
 
-    def _layer(members, cap, kc):
-        from hnsw_tpu.models.hnsw.build_large import (
-            LARGE_N, build_layer_clustered,
-        )
-        if len(members) > LARGE_N:
-            # bucketed candidate generation: bounds cost to O(N*pool*D)
-            return build_layer_clustered(
-                corpus.vectors, corpus.sq_norms, members,
-                cap=cap, k_cand=kc, metric=metric, seed=seed,
-                n_probe_clusters=large_probe_clusters)
-        return build_layer(corpus.vectors, corpus.sq_norms, members,
-                           cap=cap, k_cand=kc, metric=metric,
-                           precision=build_precision)
+    from hnsw_tpu.models.hnsw.build_large import (
+        LARGE_N, build_layer_clustered,
+    )
 
     adj0 = np.full((n_pad, m0), NONE, np.int32)
+    adj_upper = np.full((max_level, n_pad, m), NONE, np.int32)
+
+    # Phase 1 — DISPATCH: queue every device-layer program without fetching
+    # (TPU execution is in-order, so the fetches in phase 2 overlap all
+    # queued compute; a fetch-per-layer loop pays ~7 serialized relay
+    # roundtrips on a 31k hierarchy). Layers above LARGE_N take the
+    # bucketed builder synchronously (it is internally multi-dispatch).
+    pending = []     # (level, dev, member_rows) — level 0 targets adj0
     _tick("layer0", 0.0)
     if n > 1:
-        adj0[:n] = _layer(np.arange(n, dtype=np.int32), m0, k_cand)
+        members0 = np.arange(n, dtype=np.int32)
+        if n > LARGE_N:
+            adj0[:n] = build_layer_clustered(
+                corpus.vectors, corpus.sq_norms, members0,
+                cap=m0, k_cand=k_cand, metric=metric, seed=seed,
+                n_probe_clusters=large_probe_clusters,
+                refine_rounds=large_refine_rounds)
+        else:
+            pending.append((0, *build_layer_dispatch(
+                corpus.vectors, members0, cap=m0, k_cand=k_cand,
+                metric=metric, precision=build_precision)))
     _tick("layer0", 1.0)
 
-    adj_upper = np.full((max_level, n_pad, m), NONE, np.int32)
-    # small upper layers build on host; fetch their union of member vectors
-    # in ONE device->host transfer (members(l+1) ⊆ members(l))
-    host_x = None
-    host_pos = None
+    host_layers = []
     for l in range(1, max_level + 1):
         _tick(f"layer{l}", l / max(max_level, 1))
         members = np.nonzero(levels_np >= l)[0].astype(np.int32)
         if len(members) <= 1:
             continue
-        if len(members) > HOST_LAYER_MAX:
-            adj_upper[l - 1, members] = _layer(members, m,
-                                               min(k_cand, 4 * m))
-            continue
+        if len(members) > LARGE_N:
+            adj_upper[l - 1, members] = build_layer_clustered(
+                corpus.vectors, corpus.sq_norms, members,
+                cap=m, k_cand=min(k_cand, 4 * m), metric=metric, seed=seed,
+                n_probe_clusters=large_probe_clusters,
+                refine_rounds=large_refine_rounds)
+        elif len(members) > HOST_LAYER_MAX:
+            pending.append((l, *build_layer_dispatch(
+                corpus.vectors, members, cap=m,
+                k_cand=min(k_cand, 4 * m), metric=metric,
+                precision=build_precision)))
+        else:
+            host_layers.append((l, members))
+
+    # Phase 2 — host small layers (their one vector fetch drains the device
+    # queue while numpy works), then fetch the dispatched adjacencies
+    host_x = None
+    host_pos = None
+    for l, members in host_layers:
         if host_x is None:
             host_x = np.asarray(
                 jnp.take(corpus.vectors, jnp.asarray(members), axis=0))
@@ -572,6 +687,15 @@ def build_graph(
         adj_upper[l - 1, members] = np.where(
             out_local >= 0, members[np.maximum(out_local, 0)],
             NONE).astype(np.int32)
+
+    _tick("fetch", 0.0)
+    for l, dev, rows in pending:
+        out = finish_layer(dev, rows)
+        if l == 0:
+            adj0[:n] = out
+        else:
+            adj_upper[l - 1, rows] = out
+    _tick("fetch", 1.0)
 
     if n:
         top_nodes = np.nonzero(levels_np == max_level)[0]

@@ -17,7 +17,6 @@ Degree caps M0 = 2M at layer 0 and M above mirror graph.clj:214-216.
 from __future__ import annotations
 
 import dataclasses
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,54 +66,6 @@ def assign_levels(n: int, ml: float, seed: int, max_cap: int = 16) -> np.ndarray
     u = rng.random(n)
     lv = np.floor(-np.log(np.maximum(u, 1e-12)) * ml).astype(np.int32)
     return np.minimum(lv, max_cap)
-
-
-# ---- per-query bitmask over node ids (the TPU form of the reference's
-# HashSet visited set, ultra_fast.clj:170-204) ---------------------------
-
-def num_words(n_pad: int) -> int:
-    return (n_pad + 31) // 32
-
-
-def test_bits(bits: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """bits: uint32[..., W]; ids: int32[..., C] (negative => False).
-    Returns bool[..., C]."""
-    safe = jnp.maximum(ids, 0)
-    w = safe >> 5
-    b = (safe & 31).astype(jnp.uint32)
-    words = jnp.take_along_axis(bits, w, axis=-1)
-    hit = (words >> b) & jnp.uint32(1)
-    return (hit == 1) & (ids >= 0)
-
-
-def set_bits(bits: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """Set bits for ids (ids must be unique within the last axis; negative ids
-    ignored). OR-accumulate via scatter-add of distinct one-hot words: safe
-    because each (word, bit) pair appears at most once when ids are unique."""
-    valid = ids >= 0
-    safe = jnp.where(valid, ids, 0)
-    w = safe >> 5
-    bitval = jnp.where(valid, (jnp.uint32(1) << (safe & 31).astype(jnp.uint32)),
-                       jnp.uint32(0))
-    # mask out bits already present so .add never double-counts
-    already = test_bits(bits, jnp.where(valid, ids, -1))
-    bitval = jnp.where(already, jnp.uint32(0), bitval)
-    delta = jnp.zeros_like(bits).at[..., w].add(bitval) if bits.ndim == 1 else None
-    if delta is None:
-        # batched: scatter along last axis per row
-        delta = jnp.zeros_like(bits)
-        delta = _scatter_add_lastaxis(delta, w, bitval)
-    return bits | delta
-
-
-def _scatter_add_lastaxis(dest: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray):
-    """dest[..., idx] += val along the last axis, batched over leading dims."""
-    def one(d, i, v):
-        return d.at[i].add(v)
-    fn = one
-    for _ in range(dest.ndim - 1):
-        fn = jax.vmap(fn)
-    return fn(dest, idx, val)
 
 
 def empty_graph(n_pad: int, m: int, m0: int, max_level: int,

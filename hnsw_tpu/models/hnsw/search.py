@@ -168,7 +168,8 @@ def hnsw_search_batch(
     v_sq: jnp.ndarray,        # [N_pad]
     adj0: jnp.ndarray,        # [N_pad, M0]
     adj_upper: jnp.ndarray,   # [L, N_pad, M] (L may be 0)
-    entries: jnp.ndarray,     # int32 [B] per-query entry point (or scalar)
+    entries: jnp.ndarray,     # int32 [B] per-query entry point (or scalar),
+                              # or [B, P] MULTI-ENTRY seeds (see below)
     queries: jnp.ndarray,     # [B, D]
     *,
     k: int,
@@ -218,10 +219,17 @@ def hnsw_search_batch(
     b = queries.shape[0]
     ef = max(ef, k)
     e = min(expand, ef)
+    entries = jnp.asarray(entries, jnp.int32)
+    multi_entry = entries.ndim == 2
     if max_hops <= 0:
         # a serial search expands ~ef candidates; with e per hop that is
-        # ef/e hops plus slack for stragglers
-        max_hops = ef // e + 12
+        # ef/e hops plus slack for stragglers. Multi-entry searches
+        # interleave P disjoint frontiers in one beam and evict more along
+        # the way, so convergence takes ~2x the expansions (measured: a
+        # 4-seed ef=500 search converges at ~150 hops vs the single-seed
+        # bound of 137; the while_loop exits on convergence, so a generous
+        # cap costs nothing when queries finish early)
+        max_hops = (2 * (ef // e) + 16) if multi_entry else (ef // e + 12)
     loop_vecs = vectors_lp if (vectors_lp is not None
                                and precision != "highest") else vectors
     q_loop = queries_lp if (queries_lp is not None
@@ -229,20 +237,38 @@ def hnsw_search_batch(
     v_sq_loop = v_sq_lp if (v_sq_lp is not None
                             and precision != "highest") else v_sq
 
-    # ---- upper layers: greedy 1-probe descent --------------------------
-    cur = jnp.broadcast_to(jnp.asarray(entries, jnp.int32), (b,))
-    d0 = _score(q_loop, jnp.maximum(cur[:, None], 0), loop_vecs, v_sq_loop,
-                metric, (cur >= 0)[:, None], precision)[:, 0]
-    num_upper = adj_upper.shape[0]
-    for l in range(num_upper - 1, -1, -1):
-        cur, d0 = _greedy_descent(q_loop, cur, d0, adj_upper[l],
-                                  loop_vecs, v_sq_loop, metric, precision)
-
-    # ---- layer 0: batched beam -----------------------------------------
+    # ---- seed the beam -------------------------------------------------
     m0 = adj0.shape[1]
     c = e * m0
-    beam_d = jnp.full((b, ef), BIG).at[:, 0].set(d0)
-    beam_ids = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur)
+    if multi_entry:
+        # Multi-entry seeding: ONE shared beam per query, seeded at several
+        # entry rows (IVF-HNSW probe medoids, partitioned per-shard
+        # entries). This replaces the B*P virtual-query fan-out those
+        # families used: all probes compete inside a single beam of ef, so
+        # an unproductive probe is evicted instead of burning its own full
+        # ef hop budget (round 3 measured IVF-HNSW at 3.2k QPS from
+        # B*probes virtual queries x ef=300 each; the shared beam searches
+        # B queries once). Upper layers are skipped — multi-entry callers
+        # search flat disjoint subgraphs (adj_upper empty).
+        seeds = entries[:, :ef]                                  # [B, P]
+        d_seed = _score(q_loop, jnp.maximum(seeds, 0), loop_vecs, v_sq_loop,
+                        metric, seeds >= 0, precision)
+        kd, kp = jax.lax.sort((d_seed, seeds), num_keys=1)
+        p_seed = seeds.shape[1]
+        beam_d = jnp.full((b, ef), BIG).at[:, :p_seed].set(kd)
+        beam_ids = jnp.full((b, ef), -1, jnp.int32).at[:, :p_seed].set(
+            jnp.where(kd < BIG, kp, -1))
+    else:
+        # ---- upper layers: greedy 1-probe descent ----------------------
+        cur = jnp.broadcast_to(entries, (b,))
+        d0 = _score(q_loop, jnp.maximum(cur[:, None], 0), loop_vecs,
+                    v_sq_loop, metric, (cur >= 0)[:, None], precision)[:, 0]
+        num_upper = adj_upper.shape[0]
+        for l in range(num_upper - 1, -1, -1):
+            cur, d0 = _greedy_descent(q_loop, cur, d0, adj_upper[l],
+                                      loop_vecs, v_sq_loop, metric, precision)
+        beam_d = jnp.full((b, ef), BIG).at[:, 0].set(d0)
+        beam_ids = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur)
     beam_exp = jnp.zeros((b, ef), bool)
     e_iota = jnp.arange(e, dtype=jnp.int32)
 
@@ -330,6 +356,43 @@ def hnsw_search_batch(
     return out_d, out_i
 
 
+def prepare_hop_fast_path(owner, corpus, adj0, *, expand: int, ef: int,
+                          pack_bytes_cap: int):
+    """Shared wiring for the packed-neighborhood bf16 hop fast path used by
+    every family that runs hnsw_search_batch over (sub)graphs — HNSW,
+    IVF-HNSW, partitioned. Caches the bf16 corpus shadow and the packed
+    neighbor table on `owner` (attributes _vec_lp/_nbr_pack/_nbr_sq) and
+    returns the keyword arguments to splat into hnsw_search_batch.
+
+    Policy (identical across families): bf16 in-loop scoring only for
+    cosine (the euclidean norm formula cancels catastrophically at bf16 —
+    see models/hnsw/__init__.py); the packed table only while its
+    degree-duplicated HBM cost fits pack_bytes_cap; the ring-DMA Pallas
+    kernel only when the backend is TPU and hop_score_eligible confirms
+    both lane alignment and the VMEM budget for the ACTUAL hop width
+    min(expand, ef) * M0."""
+    precision = ("default" if corpus.metric == Metric.COSINE else "highest")
+    if owner._vec_lp is None or owner._vec_lp.shape != corpus.vectors.shape:
+        owner._vec_lp = corpus.vectors.astype(jnp.bfloat16)
+        owner._nbr_pack = None
+        owner._nbr_sq = None
+    m0 = adj0.shape[1]
+    dim = corpus.vectors.shape[1]
+    use_pack = precision != "highest" and (
+        adj0.shape[0] * m0 * (dim * 2 + 4) <= pack_bytes_cap)
+    if use_pack and owner._nbr_pack is None:
+        owner._nbr_pack, owner._nbr_sq = pack_neighbors(
+            owner._vec_lp, corpus.sq_norms, adj0)
+    from hnsw_tpu.ops.pallas_hop import hop_score_eligible
+    hop_kernel = "pallas" if (
+        jax.default_backend() == "tpu" and use_pack
+        and hop_score_eligible(dim, m0, expand=expand, ef=ef)) else None
+    return dict(precision=precision, vectors_lp=owner._vec_lp,
+                nbr_pack=owner._nbr_pack if use_pack else None,
+                nbr_sq=owner._nbr_sq if use_pack else None,
+                hop_kernel=hop_kernel, expand=expand)
+
+
 @jax.jit
 def pack_neighbors(vectors_lp: jnp.ndarray, v_sq: jnp.ndarray,
                    adj0: jnp.ndarray):
@@ -341,6 +404,42 @@ def pack_neighbors(vectors_lp: jnp.ndarray, v_sq: jnp.ndarray,
     bf16)."""
     rows = jnp.maximum(adj0, 0)
     return jnp.take(vectors_lp, rows, axis=0), jnp.take(v_sq, rows, axis=0)
+
+
+@partial(jax.jit, static_argnames=("metric", "r"))
+def sample_entries_grouped(
+    vectors: jnp.ndarray,      # [N_pad, D]
+    v_sq: jnp.ndarray,
+    sample_rows: jnp.ndarray,  # int32 [P, S] per-group candidate rows (-1 pad)
+    queries: jnp.ndarray,      # [B, D]
+    *,
+    metric: Metric,
+    r: int = 1,
+):
+    """Per-group top-r entry rows: one [B, P*S] GEMM, sort within each
+    group's block. The multi-entry analogue of sample_entries for families
+    that seed beam slots per disjoint subgraph (partitioned HNSW): a FIXED
+    entry per shuffled partition sits in a random topic cluster, and a
+    best-first shared beam starves the bad-entry partitions (the path to
+    their relevant region ranks below already-found neighbors); r sampled
+    per-partition seeds land each partition's probe in the query's
+    neighborhood up front (measured at 31k/8 partitions: r=1 capped recall
+    at ~0.94 even at ef=500; multi-seeding removes the navigation
+    bottleneck). Returns entries [B, P*r] (global rows, -1 padded)."""
+    p, s = sample_rows.shape
+    flat = sample_rows.reshape(-1)
+    sub = jnp.take(vectors, jnp.maximum(flat, 0), axis=0)      # [P*S, D]
+    sub_sq = jnp.take(v_sq, jnp.maximum(flat, 0), axis=0)
+    dots = jnp.dot(queries, sub.T, preferred_element_type=jnp.float32)
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    d = _dist_bc(dots, q_sq, sub_sq[None, :], metric)
+    b = d.shape[0]
+    d = jnp.where((flat >= 0)[None, :], d, BIG).reshape(b, p, s)
+    rows_b = jnp.broadcast_to(sample_rows[None], (b, p, s))
+    sd, si = jax.lax.sort((d, rows_b), num_keys=1)             # along S
+    rr = min(r, s)
+    out = jnp.where(sd[:, :, :rr] < BIG, si[:, :, :rr], -1)
+    return out.reshape(b, p * rr)
 
 
 @partial(jax.jit, static_argnames=("metric",))

@@ -38,6 +38,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 STRIP = 8  # queries per strip: the f32 sublane tile (guide: (8, 128))
 
+# Conservative per-core VMEM ceiling for auto-eligibility (v5e has ~16 MB;
+# leave headroom for compiler temporaries and double-buffered output tiles).
+VMEM_BUDGET = 14 << 20
+
+
+def hop_score_eligible(dim: int, m0: int, *, expand: int, ef: int,
+                       tb: int = 1024, ring: int = 3) -> bool:
+    """Whether hop_score can compile for this shape: lane alignment on the
+    ACTUAL hop width c = min(expand, ef) * m0 (not a hardcoded 4*m0 — the
+    callers' expand/ef choices change c), and the kernel's resident VMEM —
+    ring scratch + cat*cat temporary + query block + both f32 outputs —
+    within budget. At dim >= 1536 the default tb=1024 exceeds ~16 MB, so
+    auto-selection falls back to the XLA einsum path instead of dying in
+    Mosaic."""
+    c = min(expand, max(ef, 1)) * m0
+    if dim % 128 != 0 or c % 128 != 0:
+        return False
+    vmem = (ring * STRIP * c * dim * 2      # packed-block ring scratch (bf16)
+            + STRIP * c * dim * 2           # cat*cat squaring temporary
+            + tb * dim * 4                  # query block (f32)
+            + 2 * tb * c * 4)               # dots/csq output tiles (f32)
+    return vmem <= VMEM_BUDGET
+
 
 def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int, s: int):
     c = e * m0
@@ -80,14 +103,16 @@ def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int, s: int):
             dots_full = jax.lax.dot_general(
                 qs, cat, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)             # [S, S*C]
-            ones = jnp.ones((s, d), hbm_ref.dtype)
-            csq_full = jax.lax.dot_general(
-                ones, cat * cat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # [S, S*C]
             dots_ref[pl.ds(r0, s), :] = jnp.sum(
                 dots_full.reshape(s, s, c) * diag, axis=1)
-            csq_ref[pl.ds(r0, s), :] = jnp.sum(
-                csq_full.reshape(s, s, c) * diag, axis=1)
+            # per-row squared norms: square in f32 on the VPU and reduce
+            # along lanes. Exact (an earlier bf16 cat*cat ones-matmul added
+            # ~0.3% relative error to csq), and the block row layout
+            # (i*C + j*M0 + m) makes the flat [S*C] reduction reshape
+            # directly to each query's [C] slice — no diagonal extraction.
+            catf = cat.astype(jnp.float32)
+            csq_ref[pl.ds(r0, s), :] = jnp.sum(catf * catf,
+                                               axis=1).reshape(s, c)
 
             @pl.when(t + sq < nstrips)
             def _():
