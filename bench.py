@@ -318,8 +318,8 @@ def scale_sweep(sizes):
                 corpus = Corpus.from_array(data)
                 corpus.vectors.block_until_ready()
             entry["stage_seconds"] = round(time.perf_counter() - t0, 1)
-            exact = FlatIndex(corpus)
-            flat_fast = FlatIndex(corpus, precision="bf16")
+            exact = FlatIndex(corpus)   # holds no big caches (f32 path
+                                        # scores the corpus arrays directly)
             qb = data[:1024]
 
             def fam(name, idx, modes):
@@ -344,7 +344,11 @@ def scale_sweep(sizes):
                     entry["best_qps_device"] = ok[b]["qps_device"]
                 emit()
 
-            fam("flat_bf16_pallas", flat_fast, ["balanced"])
+            # the flat indexes are dropped right after measurement: their
+            # padded bf16/int8 device copies (~1.2 GB at 500k) otherwise
+            # sit in HBM under the graph build (which OOMed a 500k run)
+            fam("flat_bf16_pallas", FlatIndex(corpus, precision="bf16"),
+                ["balanced"])
             # int8's 4x byte advantage over f32 (2x over bf16) matters most
             # here, where the scan is HBM-bound (round-3 weak #3)
             fam("flat_int8_pallas", FlatIndex(corpus, precision="int8"),
@@ -474,12 +478,10 @@ def main():
                 "error": f"{type(e).__name__}: {e}"}
             emit()
 
-    if SCALE_SIZES and remaining_s() > 0:
-        scale_sweep(SCALE_SIZES)
-
     # the remaining reference families (README.md:65-106 table parity);
-    # measured last — the headline and scale story above matter more, so a
-    # budget kill costs these first
+    # measured BEFORE the scale sweep: they are cheap (~3 min total) while
+    # the 500k scale row costs ~10 min of build alone, so a budget kill
+    # should cost the tail of the scale story, not whole families
     from hnsw_tpu.models import (
         build_lightning_index, build_lsh_index, build_partitioned_hnsw,
         build_pcaf_index,
@@ -504,6 +506,9 @@ def main():
         except Exception as e:
             STATE["families"][name] = {"error": f"{type(e).__name__}: {e}"}
             emit()
+
+    if SCALE_SIZES and remaining_s() > 0:
+        scale_sweep(SCALE_SIZES)
     emit()
 
 

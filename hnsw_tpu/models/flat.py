@@ -268,7 +268,11 @@ class FlatIndex(ANNIndex):
                 tile=self.tile, precision="f32", row_mask=mask)
         if self.precision == "int8" and self.corpus.n > 0:
             from hnsw_tpu.ops import pallas_scan
-            fetch = max(self.int8_fetch or max(3 * k, k + 8), k)
+            # auto fetch k+6: the coarse int8 ordering is already ~exact —
+            # at 31k/k=10, fetch=16 re-ranks to 0.999 recall at 977k QPS vs
+            # 710k for the old 3k fetch (the re-rank's scattered-row gather
+            # is the path's only overhead)
+            fetch = max(self.int8_fetch or (k + 6), k)
             if jax.default_backend() == "tpu" and pallas_scan.supported(fetch):
                 return self._int8_pallas(q, k, fetch)
             v8, vscale = self._get_int8_arrays()

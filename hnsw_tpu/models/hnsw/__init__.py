@@ -43,7 +43,7 @@ class HNSWIndex(ANNIndex):
                  expand: int = 4, entry_mode: str = "sample",
                  entry_sample: int = 512, precision: str = "auto",
                  pack: str | bool = "auto", hop_kernel: str | None = "auto",
-                 pack_dim: Optional[int] = None):
+                 pack_dim: Optional[int] = None, rerank_mult: int = 4):
         super().__init__(corpus)
         self.graph = graph
         self.expand = expand
@@ -59,6 +59,9 @@ class HNSWIndex(ANNIndex):
         # HBM (e.g. 500k x 768 x M0=32 bf16 = 24 GB; at 256d it is 8 GB).
         # The final re-rank widens to ~4k beam entries at full dimension.
         self.pack_dim = pack_dim
+        # exact re-rank window = rerank_mult * k (clamped to ef): widen for
+        # reduced-dim packs whose in-loop ordering is noisier
+        self.rerank_mult = rerank_mult
         self._sample_rows = None
         self._vec_lp = None
         self._proj = None
@@ -170,10 +173,10 @@ class HNSWIndex(ANNIndex):
             queries_lp=queries_lp,
             v_sq_lp=v_sq_lp,
             # bf16 shadow scoring reorders near-ties (~0.4% relative vector
-            # rounding); re-ranking a 4k beam prefix exactly recovers them
-            # (measured: partitioned 0.896 -> 1.0 at ef=50) for one small
-            # out-of-loop gather
-            rerank=4 * k,
+            # rounding); re-ranking a rerank_mult*k beam prefix exactly
+            # recovers them (measured: partitioned 0.896 -> 1.0 at ef=50)
+            # for one small out-of-loop gather
+            rerank=self.rerank_mult * k,
         )
         return d, r
 
@@ -269,6 +272,7 @@ def build_hnsw_index(
     k_cand: Optional[int] = None,
     expand: int = 4,
     pack_dim: Optional[int] = None,
+    rerank_mult: int = 4,
     large_probe_clusters: int = 2,
     large_refine_rounds: int = 1,
     progress=None,
@@ -288,7 +292,8 @@ def build_hnsw_index(
                             large_probe_clusters=large_probe_clusters,
                             large_refine_rounds=large_refine_rounds,
                             progress=progress, should_continue=should_continue)
-    return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim)
+    return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim,
+                     rerank_mult=rerank_mult)
 
 
 __all__ = ["HNSWIndex", "build_hnsw_index", "HNSWGraph", "build_graph",

@@ -114,9 +114,16 @@ def build_layer_clustered(
     kk = max(2, ns // cluster_size)
 
     # --- bucket the layer members -----------------------------------
-    sub_gather = jnp.asarray(member_rows)
-    sub = jnp.take(vectors, sub_gather, axis=0)
-    sub_sq = jnp.take(v_sq, sub_gather, axis=0)
+    # layer 0's member set is the identity (callers pass sorted unique
+    # rows, so first==0 and last==ns-1 imply arange) — reuse the corpus
+    # arrays instead of materializing a 1.5 GB copy at 500k (padding rows
+    # are zero either way; every consumer masks by ns)
+    if member_rows[0] == 0 and member_rows[-1] == ns - 1:
+        sub, sub_sq = vectors, v_sq
+    else:
+        sub_gather = jnp.asarray(member_rows)
+        sub = jnp.take(vectors, sub_gather, axis=0)
+        sub_sq = jnp.take(v_sq, sub_gather, axis=0)
     cents, assign_j = train_kmeans(sub, sub_sq, ns, k=kk, seed=seed,
                                    iters=3, metric=metric)
     assign = np.asarray(assign_j)[:ns]
@@ -175,7 +182,8 @@ def build_layer_clustered(
     if refine_rounds > 0 and ns > cluster_size:
         rt = 512                       # [T, ~cap^2, D] gather working set
         ns_pad = ((ns + rt - 1) // rt) * rt
-        sub_pad = jnp.zeros((ns_pad, sub.shape[1]), sub.dtype).at[:ns].set(sub)
+        sub_pad = jnp.zeros((ns_pad, sub.shape[1]),
+                            sub.dtype).at[:ns].set(sub[:ns])
         sq_pad = jnp.zeros((ns_pad,), jnp.float32).at[:ns].set(sub_sq[:ns])
         for _ in range(refine_rounds):
             adj_pad = np.full((ns_pad, cap), NONE, np.int32)

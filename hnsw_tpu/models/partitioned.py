@@ -26,9 +26,8 @@ import numpy as np
 from hnsw_tpu.config import DEFAULTS, Mode, ef_for
 from hnsw_tpu.models.base import ANNIndex
 from hnsw_tpu.models.common import as_corpus
-from hnsw_tpu.models.hnsw import build_graph
 from hnsw_tpu.models.hnsw.search import hnsw_search_batch
-from hnsw_tpu.types import Corpus, round_up
+from hnsw_tpu.types import Corpus, Metric, round_up
 
 
 class PartitionedHNSWIndex(ANNIndex):
@@ -217,38 +216,84 @@ def build_partitioned_hnsw(
     order = rng.permutation(n) if shuffle else np.arange(n)
     shard_size = round_up(max((n + p - 1) // p, 1), 8)
 
-    host = np.asarray(corpus.vectors)
+    # All P shard graphs build LEVEL-BY-LEVEL as stacked dispatches
+    # (build_layers_stacked: one vmapped device program builds the same
+    # level of EVERY partition) instead of P sequential build_graph calls —
+    # the per-partition loop paid P x (dispatch + fetch + repair) and took
+    # ~40 s at 31k/8 on the relay (the reference's 8-thread build is 6-7 s,
+    # partitioned_hnsw.clj:100-119); stacked it is a handful of dispatches.
+    import math as _math
+
+    from hnsw_tpu.models.hnsw.build import build_layers_stacked
+    from hnsw_tpu.models.hnsw.graph import assign_levels
+    from hnsw_tpu.models.hnsw.repair import bridge_components
+
     rows_p = np.full((p, shard_size), -1, np.int32)
-    graphs = []
-    max_l = 0
+    counts = []
     for i in range(p):
         rows = order[i * ((n + p - 1) // p):(i + 1) * ((n + p - 1) // p)]
         rows_p[i, : len(rows)] = rows
-        shard_data = host[rows][:, : corpus.dim] if len(rows) else \
-            np.zeros((0, corpus.dim), np.float32)
-        sub = Corpus.from_array(shard_data, metric=corpus.metric,
-                                pad_rows_to=shard_size)
-        g = build_graph(sub, m=M, m0=m0, ef_construction=ef_construction,
-                        seed=seed + i)
-        graphs.append((sub, g))
-        max_l = max(max_l, g.adj_upper.shape[0])
+        counts.append(len(rows))
+    ml = 1.0 / _math.log(2.0)
+    levels = [assign_levels(c, ml, seed + i,
+                            max_cap=max(int(_math.log2(max(c, 2))), 1))
+              for i, c in enumerate(counts)]
+    max_l = max((int(lv.max()) for lv in levels if len(lv)), default=0)
+    k_cand = min(max(2 * m0, 48), 192)
+    precision = "bf16" if corpus.metric == Metric.COSINE else "highest"
 
-    vecs = np.zeros((p, shard_size, corpus.d_pad), np.float32)
-    vsq = np.zeros((p, shard_size), np.float32)
+    glob2loc = np.full(corpus.n_pad, -1, np.int32)
+    for i in range(p):
+        glob2loc[rows_p[i, : counts[i]]] = np.arange(counts[i],
+                                                     dtype=np.int32)
+
     adj0 = np.full((p, shard_size, m0), -1, np.int32)
     adju = np.full((p, max_l, shard_size, M), -1, np.int32)
-    entries = np.zeros(p, np.int32)
-    for i, (sub, g) in enumerate(graphs):
-        vecs[i, : sub.n_pad] = np.asarray(sub.vectors)
-        vsq[i, : sub.n_pad] = np.asarray(sub.sq_norms)
-        adj0[i, : sub.n_pad] = np.asarray(g.adj0)
-        lu = g.adj_upper.shape[0]
-        if lu:
-            adju[i, :lu, : sub.n_pad] = np.asarray(g.adj_upper)
-        # keep -1 for empty partitions: hnsw_search_batch masks cur<0 to BIG
-        # and returns -1; clamping to 0 would seed the beam on a padding row
-        # whose fake id=-1 result can displace real neighbors at the merge
-        entries[i] = g.entry
+    for l in range(0, max_l + 1):
+        cap = m0 if l == 0 else M
+        kc = k_cand if l == 0 else min(k_cand, 4 * M)
+        parts = []
+        members = []
+        for i in range(p):
+            mem = rows_p[i, : counts[i]][levels[i] >= l] if l else \
+                rows_p[i, : counts[i]]
+            if len(mem) >= 2:
+                parts.append(i)
+                members.append(mem.astype(np.int32))
+        if not parts:
+            continue
+        adjs = build_layers_stacked(corpus.vectors, members, cap=cap,
+                                    k_cand=kc, metric=corpus.metric,
+                                    precision=precision)
+        for i, mem, adj in zip(parts, members, adjs):
+            # connectivity repair per partition-layer (host-side Boruvka
+            # bridging, same as build_graph's per-layer pass)
+            adj, _ = bridge_components(corpus.vectors, corpus.sq_norms,
+                                       adj, mem, metric=corpus.metric,
+                                       seed=seed + i)
+            loc = np.where(adj >= 0, glob2loc[np.maximum(adj, 0)], -1)
+            if l == 0:
+                adj0[i, : len(mem)] = loc
+            else:
+                adju[i, l - 1, glob2loc[mem]] = loc
+
+    # entry = a top-level node per partition (-1 for empty partitions:
+    # hnsw_search_batch masks cur<0 to BIG and returns -1; clamping to 0
+    # would seed the beam on a padding row whose fake id=-1 result can
+    # displace real neighbors at the merge)
+    entries = np.full(p, -1, np.int32)
+    for i in range(p):
+        if counts[i]:
+            top = int(levels[i].max())
+            entries[i] = int(np.nonzero(levels[i] >= top)[0][0])
+
+    host = np.asarray(corpus.vectors)
+    hsq = np.asarray(corpus.sq_norms)
+    vecs = np.zeros((p, shard_size, corpus.d_pad), np.float32)
+    vsq = np.zeros((p, shard_size), np.float32)
+    ok = rows_p >= 0
+    vecs[ok] = host[rows_p[ok]]
+    vsq[ok] = hsq[rows_p[ok]]
 
     return PartitionedHNSWIndex(
         corpus, num_partitions=p,

@@ -160,13 +160,21 @@ def pallas_exact_topk(
 
 
 def supported(k: int) -> bool:
-    """The unrolled min-sweep selection is economical only for small k."""
+    """The unrolled min-sweep selection is economical only for small k.
+    (The bucketed kernels select outside the kernel and tolerate larger k,
+    but 32 keeps every variant's epilogue cheap.)"""
     return 1 <= k <= 32
 
 
 # ---------------------------------------------------------------------------
 # bucketed-selection variant: the k sequential min-sweeps above cost ~4x the
-# MXU time on the VPU (measured ~25% MFU). This kernel instead keeps, per
+# MXU time on the VPU (measured ~25% MFU). MFU bound (round-4 probe,
+# scripts/_probe_r4e.py mfu): a matmul-ONLY pallas kernel on identical
+# (bt=1024, nt=1024, d=768) tiles runs within ~4.5% of this full kernel, so
+# the selection epilogue is NOT the limiter — the ~34-37% MFU headline is
+# the bf16 matmul pipeline bound at these tile shapes on the (pool-shared)
+# v5e; nt=2048 exceeds the 16 MB scoped-VMEM limit (21.4 MB requested).
+# This kernel instead keeps, per
 # query, the best TWO rows of each of KPAD strided buckets (bucket = row id
 # mod KPAD) — a one-pass tree reduction — and extracts the exact top-k from
 # the [B, 2*KPAD] bucket banks outside the kernel with one small top_k.
