@@ -417,6 +417,10 @@ def main():
         # the thread-scaling analogue: QPS vs batch size on the headline
         # kernel (BENCHMARK_SUMMARY.md:24-30)
         batch_scaling(flat_fast, data)
+    # indexes are dropped as soon as they are measured: the packed-neighbor
+    # tables (~1.6 GB each for hnsw/ivf_hnsw/partitioned at 31k) otherwise
+    # accumulate in HBM and OOM the 500k scale stage at the end of the run
+    del flat_fast, flat_q
 
     if remaining_s() > 0:
         # sqrt(N)-scale partition count + SOAR spill: the config where the
@@ -426,6 +430,7 @@ def main():
         STATE["ivf_build_seconds"] = round(ivf_build_s, 3)
         measure_family("ivf_flat", ivf, data, exact,
                        ["balanced", "accurate", "precise"], latency_b1=True)
+        del ivf
 
     if remaining_s() > 0:
         stage_t = {}
@@ -465,6 +470,7 @@ def main():
         hnsw_pca = HNSWIndex(hnsw.corpus, hnsw.graph, pack_dim=256)
         measure_family("hnsw_pca256", hnsw_pca, data, exact,
                        ["turbo", "fast"])
+        del hnsw, hnsw_pca
 
     if remaining_s() > 0:
         try:
@@ -473,6 +479,7 @@ def main():
             STATE["ivf_hnsw_build_seconds"] = round(ivfh_s, 3)
             measure_family("ivf_hnsw", ivfh, data, exact,
                            ["balanced", "accurate", "precise"])
+            del ivfh
         except Exception as e:
             STATE["families"]["ivf_hnsw"] = {
                 "error": f"{type(e).__name__}: {e}"}
