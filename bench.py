@@ -56,7 +56,7 @@ FAMILY_TARGET = {"lsh": 0.45, "ivf_hnsw": 0.85}
 # (reference README.md:241-249); override with HNSW_TPU_SCALE="n1,n2" or
 # disable with HNSW_TPU_SCALE="".
 SCALE_SIZES = [int(s) for s in os.environ.get(
-    "HNSW_TPU_SCALE", "100000,500000").split(",") if s]
+    "HNSW_TPU_SCALE", "100000,500000,1000000").split(",") if s]
 
 # wall-clock budget for the whole bench run, checked before every family,
 # every mode probe, and every scale size: when exhausted, whatever has been
@@ -114,8 +114,9 @@ def _compact():
     if scale:
         c["scale"] = scale
     for key in ("hnsw_build_seconds", "hnsw_build_speedup_vs_215s",
-                "hnsw_build_stages", "ivf_build_seconds",
-                "latency_ms_device_b1", "batch_scaling", "elapsed_s"):
+                "hnsw_build_seconds_hierarchy", "hnsw_build_stages",
+                "ivf_build_seconds", "latency_ms_device_b1",
+                "batch_scaling", "elapsed_s"):
         if key in STATE:
             c[key] = STATE[key]
     return c
@@ -362,12 +363,15 @@ def scale_sweep(sizes):
                 entry["ivf_build_seconds"] = round(ivf_s, 2)
                 fam("ivf_flat", ivf, ["balanced", "accurate", "precise"])
                 del ivf
-            if remaining_s() > 0:
+            if remaining_s() > 0 and n <= 600_000:
                 # at large N: PCA-128 packed hop scoring (full-dim pack is
                 # ~24 GB at 500k — exceeds HBM) + a wider bucketed-builder
                 # candidate pool for graph quality (round-3's 500k recall
-                # capped at 0.927 with the default pool)
-                kw = dict(M=16)
+                # capped at 0.927 with the default pool). Beyond ~600k the
+                # PCA-128 pack itself exceeds the HBM budget and the build
+                # would eat the whole bench budget — the 1M row is the
+                # exact scans' story (int8 65k @ 0.999 measured)
+                kw = dict(M=16, hierarchy=False)   # sampled-entry search
                 if n > 150_000:
                     kw.update(pack_dim=128, large_probe_clusters=4,
                               large_refine_rounds=2)
@@ -448,17 +452,25 @@ def main():
                 stage_t[key] = round(stage_t.get(key, 0.0) + (t1 - t0), 3)
             return g
 
-        hnsw, build_cold_s = measure_build(_build)
+        # the index measured below searches with sampled entries (upper
+        # layers unused), so the headline build is the single-layer build
+        # of exactly that index; the hierarchical build (entry_mode=
+        # "hierarchy" parity) is timed separately
+        hnsw, build_cold_s = measure_build(
+            lambda: _build(hierarchy=False))
         # warm build = sustained rebuild rate: same kernels, compilation
         # already done (first build includes one-time XLA compilation, which
         # the persistent cache absorbs on subsequent processes)
         stage_t.clear()
-        _, build_s = measure_build(_build)
+        hnsw, build_s = measure_build(lambda: _build(hierarchy=False))
         STATE["hnsw_build_seconds"] = round(build_s, 3)
         STATE["hnsw_build_speedup_vs_215s"] = round(
             BASELINE_BUILD_S / max(build_s, 1e-9), 1)
         STATE["hnsw_build_seconds_cold_incl_compile"] = round(build_cold_s, 3)
         STATE["hnsw_build_stages"] = dict(stage_t)
+        if remaining_s() > 0:
+            _, build_h = measure_build(lambda: _build(hierarchy=True))
+            STATE["hnsw_build_seconds_hierarchy"] = round(build_h, 3)
         # turbo first: ef=50 already saturates this graph's recall (0.984,
         # scripts/_probe_hop_kernel_r3b.py — identical at ef=50..150) at 2x
         # the QPS of ef=100; best_mode stops at the first mode >= 0.98

@@ -275,6 +275,7 @@ def build_hnsw_index(
     rerank_mult: int = 4,
     large_probe_clusters: int = 2,
     large_refine_rounds: int = 1,
+    hierarchy: bool = True,
     progress=None,
     should_continue=None,
     **_ignored,
@@ -291,6 +292,7 @@ def build_hnsw_index(
                             seed=seed, k_cand=k_cand,
                             large_probe_clusters=large_probe_clusters,
                             large_refine_rounds=large_refine_rounds,
+                            hierarchy=hierarchy,
                             progress=progress, should_continue=should_continue)
     return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim,
                      rerank_mult=rerank_mult)

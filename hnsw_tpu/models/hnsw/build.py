@@ -587,6 +587,14 @@ def build_graph(
                                     # _refine_fused): probes=4 + 2 rounds
                                     # measured 0.997 edge-recall@16 vs 0.958
                                     # for probes=4 alone
+    hierarchy: bool = True,         # False: single-layer graph (levels all
+                                    # 0). The default batched search seeds
+                                    # via a sampled-entry GEMM and never
+                                    # walks the upper layers (HNSWIndex
+                                    # entry_mode="sample"), so the
+                                    # hierarchy is only needed for
+                                    # entry_mode="hierarchy" parity; the
+                                    # upper layers are ~half the build time
 ) -> HNSWGraph:
     """Build the full hierarchy. k_cand is the exact-kNN candidate pool fed
     to the heuristic (the analogue of ef-construction's candidate set,
@@ -617,6 +625,8 @@ def build_graph(
 
     levels_np = assign_levels(n, ml, seed,
                               max_cap=max(int(math.log2(max(n, 2))), 1))
+    if not hierarchy:
+        levels_np = np.zeros_like(levels_np)
     max_level = int(levels_np.max()) if n else 0
 
     levels = np.full((n_pad,), NONE, np.int32)

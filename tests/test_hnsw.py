@@ -54,6 +54,19 @@ def test_graph_structure(built):
     assert 0.4 * 1000 < h[0] < 0.6 * 1000
 
 
+def test_flat_hierarchy_build_same_recall():
+    # hierarchy=False (single-layer graph): layer 0 is built identically and
+    # the default sampled-entry search never walks the upper layers, so
+    # recall must match the hierarchical build
+    data = make_unit(1000, 64, seed=3)
+    idx = build_hnsw_index(data, M=16, metric="cosine", hierarchy=False)
+    assert idx.graph.max_level == 0 and idx.graph.adj_upper.shape[0] == 0
+    q = data[:32]
+    _, exact = brute_force_knn(data, q, 10, "cosine")
+    _, rows = idx.search_batch(q, 10)
+    assert recall_at_k(np.asarray(rows), exact) >= 0.95
+
+
 def test_clustered_data():
     data = make_clustered(800, 48, k=6, seed=11)
     idx = build_hnsw_index(data, metric="euclidean")
