@@ -20,10 +20,11 @@ from hnsw_tpu.ops.distance import BIG, distances_from_dots
 from hnsw_tpu.types import Metric
 
 
-def _scores(vectors, v_sq, centroids, metric):
+def _scores(vectors, v_sq, centroids, metric, precision="highest"):
     c_sq = jnp.sum(centroids * centroids, axis=-1)
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
     dots = jnp.dot(vectors, centroids.T, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     return distances_from_dots(dots, v_sq[:, None], c_sq[None, :], metric)
 
 
@@ -81,7 +82,11 @@ def lloyd(
     k = centroids.shape[0]
 
     def step(cents, _):
-        dist = _scores(vectors, v_sq, cents, metric)      # [N, K]
+        # default (bf16-class) MXU precision: cluster assignment is a
+        # coarse argmin over well-separated centroids, robust to ~1e-3
+        # distance error, and HIGHEST costs 6 MXU passes per GEMM — it made
+        # Lloyd ~10x the cost of the whole rest of the IVF build
+        dist = _scores(vectors, v_sq, cents, metric, precision="default")
         assign = jnp.argmin(dist, axis=-1)
         onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
         onehot = onehot * valid[:, None]
@@ -93,18 +98,64 @@ def lloyd(
         return new, None
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
-    dist = _scores(vectors, v_sq, centroids, metric)
+    dist = _scores(vectors, v_sq, centroids, metric, precision="default")
     assign = jnp.where(valid, jnp.argmin(dist, axis=-1).astype(jnp.int32), -1)
     return centroids, assign
 
 
+def _host_metric_dist(x: np.ndarray, c: np.ndarray,
+                      metric: Metric) -> np.ndarray:
+    """Distances from rows of x [S, D] to one center c [D] on host."""
+    dots = x @ c
+    if metric == Metric.COSINE:
+        denom = np.maximum(np.linalg.norm(x, axis=1) * np.linalg.norm(c),
+                           1e-12)
+        return (1.0 - dots / denom).astype(np.float32)
+    if metric == Metric.EUCLIDEAN:
+        return np.maximum((x * x).sum(1) + c @ c - 2 * dots, 0.0)
+    return (-dots).astype(np.float32)
+
+
+def sampled_pp_init(vectors, n: int, *, k: int, seed: int,
+                    metric: Metric, sample: int = 4096) -> jnp.ndarray:
+    """Seeded k-means++ (D^2 sampling) over a uniform ROW SAMPLE, run on
+    host. The device kmeans_pp_init runs k SEQUENTIAL tiny steps — at
+    k=128 that is ~4-5 s of pure latency on the relay, dominating the
+    whole IVF build (the Lloyd iterations are ~0.4 s); a 4k-row sample
+    preserves init quality (10 Lloyd iterations wash out the residue)
+    at one device fetch and a fraction of a host-second."""
+    s = int(min(max(4 * k, sample), max(n, 1)))
+    rng = np.random.default_rng(seed)
+    rows = np.sort(rng.choice(n, size=s, replace=False)) if s < n \
+        else np.arange(n)
+    x = np.asarray(jnp.take(vectors, jnp.asarray(rows, np.int32), axis=0),
+                   np.float32)
+    cents = np.empty((k, x.shape[1]), np.float32)
+    cents[0] = x[rng.integers(s)]
+    min_d = _host_metric_dist(x, cents[0], metric)
+    for i in range(1, k):
+        w = np.maximum(min_d, 0.0) ** 2
+        tot = w.sum()
+        p = w / tot if tot > 0 else np.full(s, 1.0 / s)
+        nxt = rng.choice(s, p=p)
+        cents[i] = x[nxt]
+        min_d = np.minimum(min_d, _host_metric_dist(x, cents[i], metric))
+    return jnp.asarray(cents)
+
+
 def train_kmeans(vectors, v_sq, n: int, *, k: int, seed: int = 42,
-                 iters: int = 10, metric: Metric = Metric.COSINE):
-    """Full pipeline: k-means++ init then Lloyd. Host-friendly wrapper."""
+                 iters: int = 10, metric: Metric = Metric.COSINE,
+                 init: str = "sample_pp"):
+    """Full pipeline: k-means++ init then Lloyd. Host-friendly wrapper.
+    init: "sample_pp" (host ++ over a row sample — default; see
+    sampled_pp_init) or "device_pp" (the all-device sequential init)."""
     n_pad = vectors.shape[0]
     valid = jnp.arange(n_pad) < n
-    cents = kmeans_pp_init(vectors, v_sq, valid, jnp.int32(seed),
-                           k=k, metric=metric)
+    if init == "device_pp":
+        cents = kmeans_pp_init(vectors, v_sq, valid, jnp.int32(seed),
+                               k=k, metric=metric)
+    else:
+        cents = sampled_pp_init(vectors, n, k=k, seed=seed, metric=metric)
     return lloyd(vectors, v_sq, valid, cents, iters=iters, metric=metric)
 
 
