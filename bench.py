@@ -354,12 +354,15 @@ def scale_sweep(sizes):
             # here, where the scan is HBM-bound (round-3 weak #3)
             fam("flat_int8_pallas", FlatIndex(corpus, precision="int8"),
                 ["balanced"])
-            if remaining_s() > 0 and n <= 150_000:
-                # beyond ~150k the balanced-k-means IVF build is dominated by
-                # host-side assignment (~1,400 s at 500k, round-3 memory) —
-                # budget goes to the graph family instead
+            if remaining_s() > 0 and n <= 600_000:
+                # 128 partitions at every size: probe coverage is what caps
+                # IVF recall at scale (round 3: 12 probes of 707 sqrt(N)
+                # clusters = 1.7% coverage capped 500k recall at 0.964),
+                # and the build is now fast enough (device-permuted table,
+                # host-sampled init, default-precision Lloyd/topc) that
+                # fewer/larger slabs cost little
                 ivf, ivf_s = measure_build(lambda: build_ivf_flat_index(
-                    corpus, num_partitions=max(64, int(n ** 0.5)), spill=1))
+                    corpus, num_partitions=128, spill=1))
                 entry["ivf_build_seconds"] = round(ivf_s, 2)
                 fam("ivf_flat", ivf, ["balanced", "accurate", "precise"])
                 del ivf

@@ -254,6 +254,13 @@ def hnsw_search_batch(
         d_seed = _score(q_loop, jnp.maximum(seeds, 0), loop_vecs, v_sq_loop,
                         metric, seeds >= 0, precision)
         kd, kp = jax.lax.sort((d_seed, seeds), num_keys=1)
+        # drop duplicate seeds (e.g. a probe medoid that is also a sampled
+        # row): equal ids score equal distances, so they land adjacent.
+        # Masked slots sit mid-beam as (-1, BIG) — harmless: expansion
+        # rank-compacts over eligible slots and the first merge re-sorts.
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), kp[:, 1:] == kp[:, :-1]], axis=1)
+        kd = jnp.where(dup, BIG, kd)
         p_seed = seeds.shape[1]
         beam_d = jnp.full((b, ef), BIG).at[:, :p_seed].set(kd)
         beam_ids = jnp.full((b, ef), -1, jnp.int32).at[:, :p_seed].set(

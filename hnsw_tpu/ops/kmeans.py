@@ -161,7 +161,9 @@ def train_kmeans(vectors, v_sq, n: int, *, k: int, seed: int = 42,
 
 @partial(jax.jit, static_argnames=("c", "metric"))
 def _topc_chunk(chunk, chunk_sq, centroids, *, c: int, metric: Metric):
-    dist = _scores(chunk, chunk_sq, centroids, metric)
+    # default precision: centroid ranking for probe/assignment candidates
+    # is coarse (HIGHEST's 6 MXU passes cost ~6.5 TFLOP at 500k x 707)
+    dist = _scores(chunk, chunk_sq, centroids, metric, precision="default")
     neg, ids = jax.lax.top_k(-dist, c)
     return -neg, ids
 
