@@ -95,7 +95,7 @@ def _compact():
     fams = {}
     for f, r in STATE["families"].items():
         if "recall_at_10" in r:
-            fams[f] = [r["recall_at_10"],
+            fams[f] = [round(r["recall_at_10"], 3),
                        int(r.get("qps_device") or r.get("qps_dispatched", 0))]
         else:
             fams[f] = "error"
@@ -105,9 +105,9 @@ def _compact():
         s = {}
         for f, v in e.get("families", {}).items():
             if "recall_at_10" in v:
-                s[f] = [v["recall_at_10"], int(v.get("qps_device") or 0)]
-        for key in ("best_family", "hnsw_build_seconds", "ivf_build_seconds",
-                    "skipped", "error"):
+                s[f] = [round(v["recall_at_10"], 3),
+                        int(v.get("qps_device") or 0)]
+        for key in ("best_family", "hnsw_build_seconds", "skipped", "error"):
             if key in e:
                 s[key] = e[key]
         scale[n] = s
