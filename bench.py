@@ -113,10 +113,11 @@ def _compact():
         scale[n] = s
     if scale:
         c["scale"] = scale
-    for key in ("hnsw_build_seconds", "hnsw_build_speedup_vs_215s",
-                "hnsw_build_seconds_hierarchy", "hnsw_build_stages",
-                "ivf_build_seconds", "latency_ms_device_b1",
-                "batch_scaling", "elapsed_s"):
+    # hnsw_build_stages / _hierarchy / speedup / elapsed stay in the FULL
+    # state only: the compact line must hold under ~1.5 KB (driver tail
+    # capture; the speedup is derivable from hnsw_build_seconds vs 215 s)
+    for key in ("hnsw_build_seconds", "ivf_build_seconds",
+                "latency_ms_device_b1", "batch_scaling"):
         if key in STATE:
             c[key] = STATE[key]
     return c
@@ -351,9 +352,13 @@ def scale_sweep(sizes):
             fam("flat_bf16_pallas", FlatIndex(corpus, precision="bf16"),
                 ["balanced"])
             # int8's 4x byte advantage over f32 (2x over bf16) matters most
-            # here, where the scan is HBM-bound (round-3 weak #3)
-            fam("flat_int8_pallas", FlatIndex(corpus, precision="int8"),
-                ["balanced"])
+            # here, where the scan is HBM-bound (round-3 weak #3); the
+            # coarse-only variant shares the instance's cached int8 pack
+            i8 = FlatIndex(corpus, precision="int8")
+            fam("flat_int8_pallas", i8, ["balanced"])
+            i8.int8_fetch = 0
+            fam("flat_int8_coarse", i8, ["balanced"])
+            del i8
             if remaining_s() > 0 and n <= 600_000:
                 # 128 partitions at every size: probe coverage is what caps
                 # IVF recall at scale (round 3: 12 probes of 707 sqrt(N)
@@ -419,11 +424,19 @@ def main():
     # bytes of bf16; the re-rank restores near-exact recall
     flat_q = FlatIndex(corpus, precision="int8")
     measure_family("flat_int8_pallas", flat_q, data, exact, ["balanced"])
+    # coarse-ONLY int8 (no re-rank): the per-row-scale ordering alone holds
+    # ~0.99 recall at 31k, at the int8 MXU's full rate — measured 1.62M QPS
+    # @ 0.9906 in the same window as bf16's 1.41M (scripts/_probe_r4g.py).
+    # This is the headline family, so it also carries the b=1 latency and
+    # the batch-scaling (thread-scaling analogue) figures.
+    flat_q.int8_fetch = 0
+    measure_family("flat_int8_coarse", flat_q, data, exact, ["balanced"],
+                   latency_b1=True)
 
     if remaining_s() > 0:
         # the thread-scaling analogue: QPS vs batch size on the headline
         # kernel (BENCHMARK_SUMMARY.md:24-30)
-        batch_scaling(flat_fast, data)
+        batch_scaling(flat_q, data)
     # indexes are dropped as soon as they are measured: the packed-neighbor
     # tables (~1.6 GB each for hnsw/ivf_hnsw/partitioned at 31k) otherwise
     # accumulate in HBM and OOM the 500k scale stage at the end of the run

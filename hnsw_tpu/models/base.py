@@ -99,8 +99,21 @@ class ANNIndex(abc.ABC):
 
     @property
     def supports_persistence(self) -> bool:
+        """True only when the full save/load round-trip is wired for this
+        family: to_state is overridden somewhere, a from_state constructor
+        exists, and the family name is registered for load dispatch
+        (io/persist.py resolves `INDEX_CLASSES[header["family"]]`). A mere
+        `to_state` override is not enough — a future subclass inheriting an
+        ancestor's to_state without registration would otherwise claim
+        support that `load_index` cannot deliver."""
+        cls = type(self)
+        if cls.to_state is ANNIndex.to_state or \
+                not callable(getattr(cls, "from_state", None)):
+            return False
         try:
-            self.to_state
-            return type(self).to_state is not ANNIndex.to_state
+            from hnsw_tpu.models import INDEX_CLASSES
         except Exception:
             return False
+        registered = INDEX_CLASSES.get(self.family)
+        return registered is not None and \
+            (cls is registered or issubclass(cls, registered))

@@ -188,10 +188,18 @@ class FlatIndex(ANNIndex):
         return self._int8_arrays
 
     def _int8_pallas(self, q, k: int, fetch: int):
-        """Pallas quantized coarse scan + exact f32 re-rank."""
+        """Pallas quantized coarse scan + exact f32 re-rank.
+
+        fetch <= 0 selects COARSE-ONLY mode: the int8 MXU ordering is
+        returned directly (distances reconstructed from the kernel's
+        per-query monotone key), skipping the re-rank's scattered-row
+        gather entirely. Per-row-scale int8 dots carry ~0.3% relative
+        error — the same band as bf16 rounding — so coarse-only recall
+        sits near the bf16 kernel's, at the int8 MXU's 2x rate (394 TOPS
+        v5e). The default (fetch=k+6) re-ranks for ~0.999 recall."""
         from hnsw_tpu.ops.distance import gather_score
         from hnsw_tpu.ops.pallas_scan import (
-            DEFAULT_BT, DEFAULT_NT, pallas_int8_topk,
+            INT8_BT, INT8_NT, pallas_int8_topk,
         )
 
         if self._int8_arrays is None or len(self._int8_arrays) != 4:
@@ -199,8 +207,10 @@ class FlatIndex(ANNIndex):
             vmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
             vscale = jnp.maximum(vmax / 127.0, 1e-12)
             v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
-            n_pad = ((self.corpus.n_pad + DEFAULT_NT - 1)
-                     // DEFAULT_NT) * DEFAULT_NT
+            # INT8_NT-aligned pack serves both kernels (2048 is a multiple
+            # of the sweep kernel's nt=1024)
+            n_pad = ((self.corpus.n_pad + INT8_NT - 1)
+                     // INT8_NT) * INT8_NT
             extra = n_pad - self.corpus.n_pad
             v8 = jnp.pad(v8, ((0, extra), (0, 0)))
             vs = jnp.pad(vscale[:, 0], (0, extra))
@@ -211,14 +221,15 @@ class FlatIndex(ANNIndex):
         b = q.shape[0]
         if self._use_bucket():
             from hnsw_tpu.ops.pallas_scan import pallas_int8_bucket_topk
-            # the bucketed epilogue's small live set admits bt=1024
-            # (measured 1.98M QPS at 31k x 768 — 3x the sweep int8 kernel
-            # and 1.3x the bf16 bucket kernel)
-            bt = min(2 * DEFAULT_BT, max(((b + 7) // 8) * 8, 8))
+            # small query tiles over deep int8 corpus tiles: bt=256/nt=2048
+            # measured ~6-7% over 1024/1024 across three pool windows
+            # (scripts/_probe_r4h.py)
+            bt, nt = INT8_BT, INT8_NT
+            bt = min(bt, max(((b + 7) // 8) * 8, 8))
         else:
             # the sweep kernel holds more live tiles (int32 dots + f32 dist
             # + sweep temporaries); bt=512 exceeds the 16MB VMEM scoped limit
-            bt = min(256, max(((b + 7) // 8) * 8, 8))
+            bt, nt = min(256, max(((b + 7) // 8) * 8, 8)), 1024
         b_pad = ((b + bt - 1) // bt) * bt
         qf = jnp.zeros((b_pad, q.shape[1]), jnp.float32).at[:b].set(q)
         qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
@@ -228,8 +239,29 @@ class FlatIndex(ANNIndex):
             [qscale, jnp.sum(qf * qf, axis=1, keepdims=True)], axis=1)
         kern = pallas_int8_bucket_topk if self._use_bucket() \
             else pallas_int8_topk
-        _, cand = kern(v8, vs, vsq, q8, qmeta, self.corpus.n,
-                       k=fetch, metric=self.corpus.metric, bt=bt)
+        dk, cand = kern(v8, vs, vsq, q8, qmeta, self.corpus.n,
+                        k=(fetch if fetch > 0 else k),
+                        metric=self.corpus.metric, bt=bt, nt=nt)
+        if fetch <= 0:
+            # coarse-only: reconstruct distances from the monotone key
+            # (bucket kernel; the sweep kernel already emits approx dists)
+            dk, cand = dk[:b], cand[:b]
+            if self._use_bucket():
+                qscale = qmeta[:b, 0:1]
+                q_sq = qmeta[:b, 1:2]
+                if self.corpus.metric == Metric.COSINE:
+                    # key = -dots_i32 * vscale/|v|; dots_f = dots_i32*qs*vs
+                    dist = 1.0 + dk * qscale / jnp.sqrt(
+                        jnp.maximum(q_sq, 1e-12))
+                elif self.corpus.metric == Metric.EUCLIDEAN:
+                    # key = |v|^2 - 2*qs*vs*dots; d^2 = |q|^2 + key
+                    dist = jnp.sqrt(jnp.maximum(dk + q_sq, 0.0))
+                else:
+                    dist = dk * qscale
+            else:
+                dist = dk
+            ok = (cand >= 0) & (dk < BIG)
+            return jnp.where(ok, dist, BIG), jnp.where(ok, cand, -1)
         cand = cand[:b]
         d = gather_score(q, jnp.maximum(cand, 0), self.corpus.vectors,
                          self.corpus.sq_norms, metric=self.corpus.metric,
@@ -271,9 +303,16 @@ class FlatIndex(ANNIndex):
             # auto fetch k+6: the coarse int8 ordering is already ~exact —
             # at 31k/k=10, fetch=16 re-ranks to 0.999 recall at 977k QPS vs
             # 710k for the old 3k fetch (the re-rank's scattered-row gather
-            # is the path's only overhead)
-            fetch = max(self.int8_fetch or (k + 6), k)
-            if jax.default_backend() == "tpu" and pallas_scan.supported(fetch):
+            # is the path's only overhead). int8_fetch=0 skips the re-rank
+            # entirely (coarse-only, see _int8_pallas).
+            if self.int8_fetch is None:
+                fetch = k + 6
+            elif self.int8_fetch <= 0:
+                fetch = 0
+            else:
+                fetch = max(self.int8_fetch, k)
+            if jax.default_backend() == "tpu" and \
+                    pallas_scan.supported(max(fetch, k)):
                 return self._int8_pallas(q, k, fetch)
             v8, vscale = self._get_int8_arrays()
             return int8_topk(v8, vscale, self.corpus.vectors,

@@ -34,6 +34,12 @@ BIG = 1e30
 # (512x1024 f32 = 2MB) fit VMEM with double buffering
 DEFAULT_BT = 512
 DEFAULT_NT = 1024
+# int8 bucket-kernel tiles: int8 corpus tiles are half the bytes, and the
+# geometry sweep (scripts/_probe_r4h.py, three pool windows) put small query
+# tiles with deep corpus tiles consistently ~6-7% ahead of 1024x1024
+# (bt=512/nt=1024 hits a pathological 7x Mosaic cliff — avoid)
+INT8_BT = 256
+INT8_NT = 2048
 # lane-aligned top-k slot width
 KPAD = 128
 
@@ -168,12 +174,19 @@ def supported(k: int) -> bool:
 
 # ---------------------------------------------------------------------------
 # bucketed-selection variant: the k sequential min-sweeps above cost ~4x the
-# MXU time on the VPU (measured ~25% MFU). MFU bound (round-4 probe,
-# scripts/_probe_r4e.py mfu): a matmul-ONLY pallas kernel on identical
-# (bt=1024, nt=1024, d=768) tiles runs within ~4.5% of this full kernel, so
-# the selection epilogue is NOT the limiter — the ~34-37% MFU headline is
-# the bf16 matmul pipeline bound at these tile shapes on the (pool-shared)
-# v5e; nt=2048 exceeds the 16 MB scoped-VMEM limit (21.4 MB requested).
+# MXU time on the VPU (measured ~25% MFU). MFU bound (round-4 probes,
+# scripts/_probe_r4e.py mfu + _probe_r4f.py): a matmul-ONLY pallas kernel on
+# identical (bt=1024, nt=1024, d=768) tiles runs within ~4.5% of this full
+# kernel, so the selection epilogue is NOT the limiter; a PLAIN XLA bf16
+# GEMM of the whole [1024,768]x[768,31232] shape is ~20% SLOWER than the
+# pallas matmul kernel (it spills the score matrix to HBM), K-major [D, N]
+# corpus blocks ("NN" gemm, no per-tile RHS transpose) buy only ~2%, and
+# bt/nt in {512,1024,2048} move <±5% — the ~34-37% MFU headline is the bf16
+# matmul pipeline bound at these tile shapes on the (pool-shared) v5e;
+# nt=2048 exceeds the 16 MB scoped-VMEM limit (21.4 MB requested). The way
+# PAST the bf16 bound is the int8 twin below (394 TOPS = 2x the MXU rate):
+# coarse-only int8 measured 1.62M QPS @ 0.9906 recall vs bf16's 1.41M @
+# 0.9974 in one window (_probe_r4g.py).
 # This kernel instead keeps, per
 # query, the best TWO rows of each of KPAD strided buckets (bucket = row id
 # mod KPAD) — a one-pass tree reduction — and extracts the exact top-k from
