@@ -10,9 +10,9 @@ BASELINE.md).
 
 Methodology: every index family is a legitimate engine choice; the headline
 is the fastest family/mode combination whose measured recall@10 clears 0.98
-(on this corpus size that is the exact flat scan at recall 1.0 — the
-TPU-native answer to this workload; HNSW and IVF numbers are reported
-alongside). QPS is chip-sustained throughput: batches run inside one
+(on this corpus size that is the coarse-only int8 Pallas scan @ ~0.99
+recall — the TPU-native answer to this workload; HNSW and IVF numbers are
+reported alongside). QPS is chip-sustained throughput: batches run inside one
 dispatch, excluding this dev environment's ~76 ms relay RTT per call (a real
 deployment's colocated-host dispatch overhead is microseconds).
 
@@ -255,6 +255,8 @@ def measure_family(name, idx, data, exact, modes, *, batch=1024, iters=10,
             "qps_device": round(perf.get("qps_device") or 0.0, 1),
             "qps_dispatched": round(perf["qps_batched"], 1),
         }
+        if batch != 1024:   # full state only; the compact line stays small
+            STATE["families"][name]["batch_size"] = batch
         if latency_b1 and remaining_s() > 0:
             lat = run_search_benchmark(idx, data[:1], k=K, mode=mode,
                                        batch_size=1, warmup=2, iters=4,
@@ -416,12 +418,18 @@ def main():
     exact = FlatIndex(corpus)
     measure_family("flat", exact, data, exact, ["balanced"])
 
+    # the fused Pallas scans are measured at b=4096: the coarse int8 kernel
+    # is not yet saturated at b=1024 (batch_scaling: 1.89M @ 1024 vs 2.19M
+    # @ 4096 — the per-batch epilogue amortizes); recall is measured over
+    # the same 4096 queries
     flat_fast = FlatIndex(corpus, precision="bf16")
     measure_family("flat_bf16_pallas", flat_fast, data, exact, ["balanced"],
-                   latency_b1=True)
+                   latency_b1=True, batch=4096)
 
     # int8 coarse scan + exact f32 re-rank: 2x MXU rate and 1/4 the scan
     # bytes of bf16; the re-rank restores near-exact recall
+    # (the re-rank variant stays at b=1024: its scattered-row gather
+    # regresses at 4096 — 864k vs 1.07M measured)
     flat_q = FlatIndex(corpus, precision="int8")
     measure_family("flat_int8_pallas", flat_q, data, exact, ["balanced"])
     # coarse-ONLY int8 (no re-rank): the per-row-scale ordering alone holds
@@ -431,7 +439,7 @@ def main():
     # the batch-scaling (thread-scaling analogue) figures.
     flat_q.int8_fetch = 0
     measure_family("flat_int8_coarse", flat_q, data, exact, ["balanced"],
-                   latency_b1=True)
+                   latency_b1=True, batch=4096)
 
     if remaining_s() > 0:
         # the thread-scaling analogue: QPS vs batch size on the headline
