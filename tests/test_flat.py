@@ -116,3 +116,33 @@ def test_native_filtered_search_exact():
     hits = idx.search_filtered(data[0], 5, lambda i: int(i.split("_")[1]) >= 295)
     got = sorted(int(h["id"].split("_")[1]) for h in hits)
     assert len(hits) == 5 and all(g >= 295 for g in got)
+
+
+def test_int8_coarse_only_option():
+    """int8_fetch=0 (coarse-only, no re-rank) stays a correct engine on
+    every backend: valid ascending results, near-exact recall, and the
+    option round-trips through persistence (models/flat.py _int8_pallas;
+    on CPU the path takes the int8_topk fallback)."""
+    data = make_unit(500, 64, seed=29)
+    from hnsw_tpu.io.persist import load_index, save_index
+    from hnsw_tpu.models.flat import FlatIndex
+    from hnsw_tpu.types import Corpus
+    c = Corpus.from_array(data)
+    exact = FlatIndex(c)
+    coarse = FlatIndex(c, precision="int8", int8_fetch=0)
+    q = data[:32]
+    _, re = exact.search_batch(q, 10)
+    d0, r0 = coarse.search_batch(q, 10)
+    assert recall_at_k(np.asarray(r0), np.asarray(re)) >= 0.97
+    d0 = np.asarray(d0)
+    assert (np.diff(d0, axis=1) >= -1e-6).all()
+    assert (np.asarray(r0) >= 0).all() and (np.asarray(r0) < 500).all()
+    # self-match first
+    assert (np.asarray(r0)[:, 0] == np.arange(32)).all()
+    # persistence keeps the coarse-only setting distinct from auto (None)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "coarse_idx")
+        save_index(coarse, p)
+        back = load_index(p)
+    assert back.int8_fetch == 0 and back.precision == "int8"
