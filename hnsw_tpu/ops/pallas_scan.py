@@ -181,9 +181,10 @@ def supported(k: int) -> bool:
 # GEMM of the whole [1024,768]x[768,31232] shape is ~20% SLOWER than the
 # pallas matmul kernel (it spills the score matrix to HBM), K-major [D, N]
 # corpus blocks ("NN" gemm, no per-tile RHS transpose) buy only ~2%, and
-# bt/nt in {512,1024,2048} move <±5% — the ~34-37% MFU headline is the bf16
-# matmul pipeline bound at these tile shapes on the (pool-shared) v5e;
-# nt=2048 exceeds the 16 MB scoped-VMEM limit (21.4 MB requested). The way
+# bt/nt in {512,1024,2048} move <±5% (bf16 nt=2048 DOES fit VMEM at
+# bt<=512 and was re-swept across two windows — all within noise) — the
+# ~34-37% MFU headline is the bf16 matmul pipeline bound at these tile
+# shapes on the (pool-shared) v5e. The way
 # PAST the bf16 bound is the int8 twin below (394 TOPS = 2x the MXU rate):
 # coarse-only int8 measured 1.62M QPS @ 0.9906 recall vs bf16's 1.41M @
 # 0.9974 in one window (_probe_r4g.py).
