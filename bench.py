@@ -97,6 +97,11 @@ def _compact():
         if "recall_at_10" in r:
             fams[f] = [round(r["recall_at_10"], 3),
                        int(r.get("qps_device") or r.get("qps_dispatched", 0))]
+            # cross-batch QPS is not directly comparable: families measured
+            # at a non-default batch carry it as a third element (the fused
+            # scans saturate at b=4096, everything else runs b=1024)
+            if "batch_size" in r:
+                fams[f].append(r["batch_size"])
         else:
             fams[f] = "error"
     c["families"] = fams

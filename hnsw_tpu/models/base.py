@@ -114,6 +114,8 @@ class ANNIndex(abc.ABC):
             from hnsw_tpu.models import INDEX_CLASSES
         except Exception:
             return False
-        registered = INDEX_CLASSES.get(self.family)
-        return registered is not None and \
-            (cls is registered or issubclass(cls, registered))
+        # EXACT registration check (`cls is registered`): a subclass merely
+        # inheriting a registered family name would save fine but load back
+        # as the registered base class, losing its type and any extra
+        # to_state params — not a supported round-trip, so it reports False.
+        return cls is INDEX_CLASSES.get(self.family)

@@ -123,7 +123,13 @@ def int8_topk(
     """Two-phase quantized scan: int8 MXU coarse pass (per-row symmetric
     quantization) -> exact f32 re-rank of the top `fetch` candidates. The
     int8 matmul runs at ~2x bf16 MXU throughput and quarters the corpus
-    bytes; the re-rank restores exact distances (AQR-style pipeline)."""
+    bytes; the re-rank restores exact distances (AQR-style pipeline).
+
+    fetch <= 0 selects COARSE-ONLY mode (the XLA twin of
+    FlatIndex._int8_pallas's int8_fetch=0): the dequantized coarse ordering
+    and distances are returned directly, skipping the re-rank's
+    scattered-row gather — so the coarse-only intent is honored on every
+    backend, not just the Pallas path."""
     from hnsw_tpu.ops.distance import gather_score
 
     n = jnp.asarray(n, jnp.int32)
@@ -136,6 +142,9 @@ def int8_topk(
     dist = distances_from_dots(dots, q_sq, v_sq, metric)
     rows = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     dist = jnp.where(rows < n, dist, BIG)
+    if fetch <= 0:          # coarse-only: no exact re-rank
+        dk, cand = top_k_ascending(dist, min(k, dist.shape[-1]))
+        return dk, jnp.where(dk < BIG, cand, -1)
     _, cand = top_k_ascending(dist, min(fetch, dist.shape[-1]))
 
     d = gather_score(queries, jnp.maximum(cand, 0), vectors, v_sq,
@@ -160,11 +169,14 @@ class FlatIndex(ANNIndex):
         self.precision = precision
         self.tile = tile
         # int8 path: how many coarse candidates the exact f32 re-rank
-        # considers (None = auto, max(3k, k+8)). The re-rank's scattered-row
+        # considers (None = auto, k+6). The re-rank's scattered-row
         # gather is the int8 path's overhead (round-3: 701k QPS measured vs
         # the kernel's 1.98M coarse rate); a tighter fetch trades a little
         # tail recall for throughput. fetch <= k still re-scores the k
-        # returned rows so reported distances stay exact.
+        # returned rows so reported distances stay exact. int8_fetch=0
+        # selects COARSE-ONLY mode (no re-rank; ~0.99 recall at 31k from
+        # the per-row-scale ordering alone) on BOTH the Pallas and the XLA
+        # fallback path — see _int8_pallas / int8_topk.
         self.int8_fetch = int8_fetch
         # "auto" | "bucket" | "sweep": which fused Pallas selection kernel
         # the bf16/int8 paths use. The bucketed kernel (one tree-reduction
@@ -314,10 +326,17 @@ class FlatIndex(ANNIndex):
             if jax.default_backend() == "tpu" and \
                     pallas_scan.supported(max(fetch, k)):
                 return self._int8_pallas(q, k, fetch)
-            v8, vscale = self._get_int8_arrays()
-            return int8_topk(v8, vscale, self.corpus.vectors,
+            # XLA fallback (CPU, or k beyond the Pallas kernels' range):
+            # int8_fetch=0 keeps its coarse-only meaning here too (fetch=0
+            # skips the re-rank inside int8_topk); otherwise re-rank a
+            # slightly wider pool than the Pallas path — the XLA coarse
+            # ordering is the same quality, the wider fetch is free next to
+            # the materialized [B, N] score matrix
+            return int8_topk(*self._get_int8_arrays(), self.corpus.vectors,
                              self.corpus.sq_norms, q, self.corpus.n,
-                             k=k, fetch=max(4 * k, k + 32),
+                             k=k,
+                             fetch=0 if fetch <= 0 else max(fetch, 4 * k,
+                                                            k + 32),
                              metric=self.corpus.metric)
         if self._pallas_ready(k):
             from hnsw_tpu.ops.pallas_scan import (

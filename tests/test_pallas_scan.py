@@ -159,12 +159,13 @@ def test_int8_bucketed_candidates():
     assert recall_at_k(np.asarray(r), exact) >= 0.98
 
 
-@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
 def test_int8_coarse_distance_reconstruction(metric):
     """Coarse-only int8 mode (FlatIndex int8_fetch=0) reconstructs true
     distances from the kernel's monotone key: cosine d = 1 + key*qs/|q|,
-    l2 d = sqrt(key + |q|^2). The reconstruction must land within int8
-    quantization error of the exact distances for the selected rows."""
+    l2 d = sqrt(key + |q|^2), dot d = key*qs (key = -dots_i32*vscale).
+    The reconstruction must land within int8 quantization error of the
+    exact distances for the selected rows."""
     from hnsw_tpu.ops.pallas_scan import pallas_int8_bucket_topk
 
     data = make_unit(600, 64, seed=88)
@@ -187,16 +188,18 @@ def test_int8_coarse_distance_reconstruction(metric):
     if metric == "cosine":
         dist = 1.0 + np.asarray(dk) * np.asarray(qscale) \
             / np.sqrt(np.maximum(np.asarray(q_sq), 1e-12))
-    else:
+    elif metric == "euclidean":
         dist = np.sqrt(np.maximum(np.asarray(dk) + np.asarray(q_sq), 0.0))
+    else:                               # dot: dist = -dots = key * qscale
+        dist = np.asarray(dk) * np.asarray(qscale)
     exact_d, exact_r = brute_force_knn(data, data[:64], 10, metric)
     assert recall_at_k(np.asarray(r), exact_r) >= 0.97
     # reconstructed distances track the exact ones for matching rows
     # int8 dot noise is additive in the KEY (~|q||v|*3e-3), i.e. in d for
-    # cosine but in d^2 for euclidean (where sqrt blows it up near zero) —
-    # so compare in the key's own domain
+    # cosine/dot but in d^2 for euclidean (where sqrt blows it up near
+    # zero) — so compare in the key's own domain
     r_np = np.asarray(r)
-    p = 1 if metric == "cosine" else 2
+    p = 2 if metric == "euclidean" else 1
     for i in range(8):
         for j in range(10):
             if r_np[i, j] == exact_r[i, j]:
