@@ -43,7 +43,8 @@ class HNSWIndex(ANNIndex):
                  expand: int = 4, entry_mode: str = "sample",
                  entry_sample: int = 512, precision: str = "auto",
                  pack: str | bool = "auto", hop_kernel: str | None = "auto",
-                 pack_dim: Optional[int] = None, rerank_mult: int = 4):
+                 pack_dim: Optional[int] = None, rerank_mult: int = 4,
+                 pack_precision: str = "auto"):
         super().__init__(corpus)
         self.graph = graph
         self.expand = expand
@@ -52,6 +53,13 @@ class HNSWIndex(ANNIndex):
         self.precision = precision
         self.pack = pack
         self.hop_kernel = hop_kernel
+        # pack_precision: dtype of the packed-neighborhood table. "bf16" is
+        # the default shadow; "int8" stores per-row-quantized codes + scales
+        # (search.pack_neighbors_int8) at HALF the bf16 pack's HBM — what
+        # lets the graph engine reach 1M rows on one 16 GB chip (bf16
+        # PCA-128 at 1M = 8.2 GB of pack alone). "auto" picks bf16 while it
+        # fits PACK_BYTES_CAP, else int8.
+        self.pack_precision = pack_precision
         # pack_dim: score hops against a seeded random projection of the
         # corpus (JL/PCAF-style, pcaf.clj:33-46 semantics) instead of the
         # full-dim bf16 shadow: D/pack_dim x less hop HBM traffic, and the
@@ -68,6 +76,7 @@ class HNSWIndex(ANNIndex):
         self._vsq_lp = None
         self._nbr_pack = None
         self._nbr_sq = None
+        self._nbr_scale = None
 
     def _entry_rows(self) -> jnp.ndarray:
         if self._sample_rows is None or \
@@ -139,27 +148,45 @@ class HNSWIndex(ANNIndex):
                 self._vec_lp.shape != self.corpus.vectors.shape:
             self._vec_lp = self.corpus.vectors.astype(jnp.bfloat16)
             self._vsq_lp = None
-        # the pack is a bf16 shadow: full-f32 ("highest") scoring — the
-        # euclidean auto policy — must keep exact row gathers
+        # the pack is a quantized shadow (bf16 or int8 codes): full-f32
+        # ("highest") scoring — the euclidean auto policy — must keep exact
+        # row gathers
+        pack_bytes = {
+            "bf16": self.graph.n_pad * self.graph.m0 * (loop_dim * 2 + 4),
+            "int8": self.graph.n_pad * self.graph.m0 * (loop_dim + 8),
+        }
+        pp = self.pack_precision
+        if pp == "auto":
+            pp = "bf16" if pack_bytes["bf16"] <= self.PACK_BYTES_CAP \
+                else "int8"
         use_pack = precision != "highest" and (self.pack is True or (
             self.pack == "auto"
-            and self.graph.n_pad * self.graph.m0
-            * (loop_dim * 2 + 4) <= self.PACK_BYTES_CAP))
-        if use_pack and self._nbr_pack is None:
-            self._nbr_pack, self._nbr_sq = pack_neighbors(
-                self._vec_lp,
-                self._vsq_lp if lowdim else self.corpus.sq_norms,
-                self.graph.adj0)
+            and pack_bytes[pp] <= self.PACK_BYTES_CAP))
+        want_dtype = jnp.int8 if pp == "int8" else jnp.bfloat16
+        if use_pack and (self._nbr_pack is None
+                         or self._nbr_pack.dtype != want_dtype):
+            src_sq = self._vsq_lp if lowdim else self.corpus.sq_norms
+            if pp == "int8":
+                from hnsw_tpu.models.hnsw.search import pack_neighbors_int8
+                self._nbr_pack, self._nbr_scale, self._nbr_sq = \
+                    pack_neighbors_int8(self._vec_lp, src_sq, self.graph.adj0)
+            else:
+                self._nbr_pack, self._nbr_sq = pack_neighbors(
+                    self._vec_lp, src_sq, self.graph.adj0)
+                self._nbr_scale = None
         # "auto": the ring-DMA Pallas kernel sustains ~615 GB/s on the
         # packed-neighborhood gather vs ~46 GB/s for XLA's row gather
         # (scripts/_probe_hop_kernel_r3b.py), but it needs the TPU backend,
         # the pack, and MXU/VPU-aligned shapes
         hop_kernel = self.hop_kernel
         if hop_kernel == "auto":
-            from hnsw_tpu.ops.pallas_hop import hop_score_eligible
+            from hnsw_tpu.ops.pallas_hop import (hop_score_eligible,
+                                                 hop_score_int8_eligible)
+            elig_fn = hop_score_int8_eligible if pp == "int8" \
+                else hop_score_eligible
             eligible = (jax.default_backend() == "tpu" and use_pack
-                        and hop_score_eligible(loop_dim, self.graph.m0,
-                                               expand=self.expand, ef=ef))
+                        and elig_fn(loop_dim, self.graph.m0,
+                                    expand=self.expand, ef=ef))
             hop_kernel = "pallas" if eligible else None
         d, r = hnsw_search_batch(
             self.corpus.vectors, self.corpus.sq_norms,
@@ -169,6 +196,7 @@ class HNSWIndex(ANNIndex):
             vectors_lp=self._vec_lp,
             nbr_pack=self._nbr_pack if use_pack else None,
             nbr_sq=self._nbr_sq if use_pack else None,
+            nbr_scale=self._nbr_scale if use_pack else None,
             hop_kernel=hop_kernel,
             queries_lp=queries_lp,
             v_sq_lp=v_sq_lp,
@@ -203,6 +231,7 @@ class HNSWIndex(ANNIndex):
                                    # (shape alone can't detect same-n_pad adds)
         self._nbr_pack = None      # adjacency changed: repack on next search
         self._nbr_sq = None
+        self._nbr_scale = None
         self._vsq_lp = None
         self._proj = None          # PCA basis must track the grown corpus —
                                    # a stale basis silently erodes pack_dim
@@ -272,6 +301,7 @@ def build_hnsw_index(
     k_cand: Optional[int] = None,
     expand: int = 4,
     pack_dim: Optional[int] = None,
+    pack_precision: str = "auto",
     rerank_mult: int = 4,
     large_probe_clusters: int = 2,
     large_refine_rounds: int = 1,
@@ -295,7 +325,7 @@ def build_hnsw_index(
                             hierarchy=hierarchy,
                             progress=progress, should_continue=should_continue)
     return HNSWIndex(corpus, graph, expand=expand, pack_dim=pack_dim,
-                     rerank_mult=rerank_mult)
+                     pack_precision=pack_precision, rerank_mult=rerank_mult)
 
 
 __all__ = ["HNSWIndex", "build_hnsw_index", "HNSWGraph", "build_graph",

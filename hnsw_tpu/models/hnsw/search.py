@@ -180,8 +180,13 @@ def hnsw_search_batch(
     precision: str = "default",
     vectors_lp: jnp.ndarray | None = None,  # bf16 shadow for in-loop scoring
     nbr_pack: jnp.ndarray | None = None,    # [N_pad, M0, D] packed neighbor
-                                            # vectors (see pack_neighbors)
+                                            # vectors (bf16, pack_neighbors)
+                                            # or int8 CODES when nbr_scale
+                                            # is given (pack_neighbors_int8)
     nbr_sq: jnp.ndarray | None = None,      # [N_pad, M0] their sq norms
+    nbr_scale: jnp.ndarray | None = None,   # [N_pad, M0] per-packed-row int8
+                                            # dequant scales; non-None marks
+                                            # the pack as int8 codes
     debug_hops: bool = False,               # also return the hop count taken
     merge: str | None = None,               # beam-merge variant ("sort" |
                                             # "topk" | "onehot" | "approx" |
@@ -313,21 +318,36 @@ def hnsw_search_batch(
         if nbr_pack is not None and hop_kernel == "pallas":
             # ring-DMA fused gather+score: XLA's gather issues one DMA per
             # [M0, D] neighborhood with no pipelining (~1 us/row measured);
-            # the Pallas kernel keeps ~ring*E copies in flight. csq comes
-            # from the landed bf16 block itself (see ops/pallas_hop.py).
-            from hnsw_tpu.ops.pallas_hop import hop_score
-            dots, c_sq = hop_score(nbr_pack, q_loop, sel_rows)
+            # the Pallas kernel keeps ~ring*E copies in flight. bf16 packs
+            # get csq from the landed block itself (ops/pallas_hop.py);
+            # int8 packs (nbr_scale given) return raw dots and take csq +
+            # dequant scale from two tiny [B, E, M0] XLA gathers (row
+            # gathers this small are per-row-overhead bound at ~15 ns/row
+            # — microseconds per hop).
             q_sq = jnp.sum(q_loop.astype(jnp.float32) ** 2, axis=-1,
                            keepdims=True)
+            if nbr_scale is not None:
+                from hnsw_tpu.ops.pallas_hop import hop_score_int8
+                dots = hop_score_int8(nbr_pack, q_loop, sel_rows)
+                dots = dots * jnp.take(nbr_scale, sel_rows,
+                                       axis=0).reshape(b, c)
+                c_sq = jnp.take(nbr_sq, sel_rows, axis=0).reshape(b, c)
+            else:
+                from hnsw_tpu.ops.pallas_hop import hop_score
+                dots, c_sq = hop_score(nbr_pack, q_loop, sel_rows)
             d_nb = jnp.where(valid, _dist_bc(dots, q_sq, c_sq, metric), BIG)
         elif nbr_pack is not None:
             blocks = jnp.take(nbr_pack, sel_rows, axis=0)      # [B, E, M0, D]
             prec = (jax.lax.Precision.HIGHEST if precision == "highest"
                     else None)
+            bdt = jnp.bfloat16 if nbr_scale is not None else blocks.dtype
             dots = jnp.einsum(
-                "bd,bemd->bem", q_loop.astype(blocks.dtype), blocks,
+                "bd,bemd->bem", q_loop.astype(bdt), blocks.astype(bdt),
                 preferred_element_type=jnp.float32,
                 precision=prec).reshape(b, c)
+            if nbr_scale is not None:      # dequantize int8 code dots
+                dots = dots * jnp.take(nbr_scale, sel_rows,
+                                       axis=0).reshape(b, c)
             q_sq = jnp.sum(q_loop.astype(jnp.float32) ** 2, axis=-1,
                            keepdims=True)
             c_sq = jnp.take(nbr_sq, sel_rows, axis=0).reshape(b, c)
@@ -411,6 +431,26 @@ def pack_neighbors(vectors_lp: jnp.ndarray, v_sq: jnp.ndarray,
     bf16)."""
     rows = jnp.maximum(adj0, 0)
     return jnp.take(vectors_lp, rows, axis=0), jnp.take(v_sq, rows, axis=0)
+
+
+@jax.jit
+def pack_neighbors_int8(vectors: jnp.ndarray, v_sq: jnp.ndarray,
+                        adj0: jnp.ndarray):
+    """int8 twin of pack_neighbors: per-row symmetric quantization of the
+    (possibly reduced-dim) loop vectors, then the same neighborhood-
+    contiguous pack. Halves the bf16 pack's HBM — the capacity limit of the
+    graph engine at scale (bf16 PCA-128 at 1M rows = 8.2 GB; int8 = 4.1) —
+    and halves the hop loop's DMA bytes. Returns (codes int8 [N_pad, M0, D],
+    scales f32 [N_pad, M0], sq norms f32 [N_pad, M0]); sq norms are the
+    EXACT shadow norms, not reconstructed from the codes."""
+    vf = vectors.astype(jnp.float32)
+    vmax = jnp.max(jnp.abs(vf), axis=1, keepdims=True)
+    scale = jnp.maximum(vmax / 127.0, 1e-12)
+    v8 = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
+    rows = jnp.maximum(adj0, 0)
+    return (jnp.take(v8, rows, axis=0),
+            jnp.take(scale[:, 0], rows, axis=0),
+            jnp.take(v_sq, rows, axis=0))
 
 
 @partial(jax.jit, static_argnames=("metric", "r"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,23 +176,30 @@ class PartitionedHNSWIndex(ANNIndex):
                    state: Dict[str, Any]) -> "PartitionedHNSWIndex":
         p, a = state["params"], state["arrays"]
         rows_p = np.asarray(a["rows_p"])
-        host = np.asarray(corpus.vectors)
-        sq = np.asarray(corpus.sq_norms)
-        pp, s = rows_p.shape
-        vecs = np.zeros((pp, s, corpus.d_pad), np.float32)
-        vsq = np.zeros((pp, s), np.float32)
-        ok = rows_p >= 0
-        vecs[ok] = host[rows_p[ok]]
-        vsq[ok] = sq[rows_p[ok]]
+        # device row-gather, not a host-side corpus fetch (the corpus may
+        # live across a slow device link; see build_partitioned_hnsw)
+        vecs, vsq = _stack_shards(corpus.vectors, corpus.sq_norms,
+                                  jnp.asarray(rows_p))
         return cls(
             corpus, num_partitions=int(p["num_partitions"]),
-            vectors_p=jnp.asarray(vecs), v_sq_p=jnp.asarray(vsq),
+            vectors_p=vecs, v_sq_p=vsq,
             rows_p=jnp.asarray(rows_p), adj0_p=jnp.asarray(a["adj0_p"]),
             adj_upper_p=jnp.asarray(a["adj_upper_p"]),
             entries_p=jnp.asarray(a["entries_p"]),
             m=int(p["M"]), m0=int(p["M0"]),
             ef_construction=int(p["ef_construction"]),
             seed=int(p.get("seed", 42)))
+
+
+@jax.jit
+def _stack_shards(vectors, v_sq, rows_p):
+    """[P, S] global rows -> ([P, S, D], [P, S]) stacked shard arrays, all
+    on device (pad rows -1 -> zero vectors)."""
+    ok = rows_p >= 0
+    r = jnp.maximum(rows_p, 0)
+    vecs = jnp.where(ok[:, :, None], jnp.take(vectors, r, axis=0), 0.0)
+    vsq = jnp.where(ok, jnp.take(v_sq, r, axis=0), 0.0)
+    return vecs, vsq
 
 
 def build_partitioned_hnsw(
@@ -205,8 +213,16 @@ def build_partitioned_hnsw(
     ids=None,
     seed: int = DEFAULTS["seed"],
     shuffle: bool = True,
+    progress=None,             # callable(stage: str, fraction: float) — the
+                               # same tick protocol as build_graph; stages:
+                               # "stack_l{l}" (stacked level dispatch+fetch),
+                               # "bridge_l{l}" (per-partition connectivity
+                               # repair), "gather" (shard vector pack)
     **_ignored,
 ) -> PartitionedHNSWIndex:
+    def _tick(stage, frac):
+        if progress is not None:
+            progress(stage, frac)
     corpus = as_corpus(data, metric=metric, ids=ids)
     n = corpus.n
     p = max(1, min(num_partitions, max(n, 1)))
@@ -262,12 +278,15 @@ def build_partitioned_hnsw(
                 members.append(mem.astype(np.int32))
         if not parts:
             continue
+        _tick(f"stack_l{l}", 0.0)
         adjs = build_layers_stacked(corpus.vectors, members, cap=cap,
                                     k_cand=kc, metric=corpus.metric,
                                     precision=precision)
+        _tick(f"bridge_l{l}", 0.0)
         for i, mem, adj in zip(parts, members, adjs):
             # connectivity repair per partition-layer (host-side Boruvka
-            # bridging, same as build_graph's per-layer pass)
+            # bridging, same as build_graph's per-layer pass; already-
+            # connected layers return immediately with zero device work)
             adj, _ = bridge_components(corpus.vectors, corpus.sq_norms,
                                        adj, mem, metric=corpus.metric,
                                        seed=seed + i)
@@ -276,6 +295,7 @@ def build_partitioned_hnsw(
                 adj0[i, : len(mem)] = loc
             else:
                 adju[i, l - 1, glob2loc[mem]] = loc
+        _tick(f"bridge_l{l}", 1.0)
 
     # entry = a top-level node per partition (-1 for empty partitions:
     # hnsw_search_batch masks cur<0 to BIG and returns -1; clamping to 0
@@ -287,17 +307,19 @@ def build_partitioned_hnsw(
             top = int(levels[i].max())
             entries[i] = int(np.nonzero(levels[i] >= top)[0][0])
 
-    host = np.asarray(corpus.vectors)
-    hsq = np.asarray(corpus.sq_norms)
-    vecs = np.zeros((p, shard_size, corpus.d_pad), np.float32)
-    vsq = np.zeros((p, shard_size), np.float32)
-    ok = rows_p >= 0
-    vecs[ok] = host[rows_p[ok]]
-    vsq[ok] = hsq[rows_p[ok]]
+    # shard vector stacking stays ON DEVICE: the earlier host-side gather
+    # (np.asarray of the whole corpus) shipped 96 MB through the dev relay
+    # per build — the dominant cost of the round-4 driver's 148.8 s
+    # partitioned-build reading (a plain device row-gather is milliseconds)
+    _tick("gather", 0.0)
+    vecs, vsq = _stack_shards(corpus.vectors, corpus.sq_norms,
+                              jnp.asarray(rows_p))
+    vecs.block_until_ready()
+    _tick("gather", 1.0)
 
     return PartitionedHNSWIndex(
         corpus, num_partitions=p,
-        vectors_p=jnp.asarray(vecs), v_sq_p=jnp.asarray(vsq),
+        vectors_p=vecs, v_sq_p=vsq,
         rows_p=jnp.asarray(rows_p), adj0_p=jnp.asarray(adj0),
         adj_upper_p=jnp.asarray(adju), entries_p=jnp.asarray(entries),
         m=M, m0=m0, ef_construction=ef_construction, seed=seed)

@@ -62,6 +62,25 @@ def hop_score_eligible(dim: int, m0: int, *, expand: int, ef: int,
     return vmem <= VMEM_BUDGET
 
 
+def hop_score_int8_eligible(dim: int, m0: int, *, expand: int, ef: int,
+                            tb: int = 1024, ring: int = 3) -> bool:
+    """Eligibility for hop_score_int8 (int8 packed blocks). On top of
+    hop_score_eligible's lane alignment, the int8 HBM blocks must be whole
+    int8 tiles ((32, 128) — a [M0, D] block copy with M0 % 32 != 0 is not
+    provably tile-aligned for Mosaic). VMEM is smaller than the bf16
+    kernel's: int8 ring scratch + a bf16 conversion temporary + one output
+    (dots only — squared norms ride a separate tiny XLA gather, see
+    models/hnsw/search.py)."""
+    c = min(expand, max(ef, 1)) * m0
+    if dim % 128 != 0 or c % 128 != 0 or m0 % 32 != 0:
+        return False
+    vmem = (ring * STRIP * c * dim      # packed-block ring scratch (int8)
+            + STRIP * c * dim * 2      # bf16 conversion temporary
+            + tb * dim * 4             # query block (f32)
+            + tb * c * 4)              # dots output tile (f32)
+    return vmem <= VMEM_BUDGET
+
+
 def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int, s: int):
     c = e * m0
     sc = s * c
@@ -180,3 +199,125 @@ def hop_score(
         interpret=interpret,
     )(sel.reshape(-1), q, nbr_pack)
     return dots[:b], csq[:b]
+
+
+# ---------------------------------------------------------------------------
+# int8-packed variant: the neighbor-pack table is the HBM-capacity limit of
+# the graph engine at scale (bf16 PCA-128 pack at 1M rows = 8.2 GB — over
+# half the v5e's 16 GB before the corpus itself). int8 codes halve it to
+# 4.1 GB AND halve the hop loop's DMA bytes. The MXU is NOT the bottleneck
+# here (per-strip [8, D] x [D, S*C] matmuls are tiny next to the block DMA),
+# so the kernel converts the landed int8 codes to bf16 on the VPU and scores
+# with the UNQUANTIZED bf16 queries: dots_raw ~ q . round(v/scale), and the
+# caller multiplies by the per-packed-row scale — no query quantization, so
+# the only added error over the bf16 pack is the codes' ~0.3% rounding.
+# Squared norms are NOT recomputed in-kernel (they would need the scale):
+# the caller gathers the exact [B, E, M0] norms with one tiny XLA take.
+# ---------------------------------------------------------------------------
+
+def _make_kernel_int8(tb: int, e: int, m0: int, d: int, sq: int, s: int):
+    c = e * m0
+    sc = s * c
+
+    def kernel(sel_ref, q_ref, hbm_ref, dots_ref, blk, sem):
+        g = pl.program_id(0)
+        base = g * tb
+        nstrips = tb // s
+
+        def dma(t, i, j):
+            slot = jax.lax.rem(t, sq)
+            row = sel_ref[(base + t * s + i) * e + j]
+            return pltpu.make_async_copy(
+                hbm_ref.at[row],                           # [M0, D] int8
+                blk.at[slot, pl.ds((i * e + j) * m0, m0), :],
+                sem.at[slot, i, j],
+            )
+
+        for t in range(min(sq, nstrips)):
+            for i in range(s):
+                for j in range(e):
+                    dma(t, i, j).start()
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
+        diag = (ii == jj).astype(jnp.float32)              # [S, S, 1]
+
+        def body(t, _):
+            slot = jax.lax.rem(t, sq)
+            for i in range(s):
+                for j in range(e):
+                    dma(t, i, j).wait()
+            r0 = pl.multiple_of(t * s, s)
+            qs = q_ref[pl.ds(r0, s), :].astype(jnp.bfloat16)    # [S, D]
+            # int8 codes in [-127, 127] are exactly representable in bf16
+            cat = blk[slot].astype(jnp.bfloat16)                # [S*C, D]
+            dots_full = jax.lax.dot_general(
+                qs, cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [S, S*C]
+            dots_ref[pl.ds(r0, s), :] = jnp.sum(
+                dots_full.reshape(s, s, c) * diag, axis=1)
+
+            @pl.when(t + sq < nstrips)
+            def _():
+                for i in range(s):
+                    for j in range(e):
+                        dma(t + sq, i, j).start()
+            return 0
+
+        jax.lax.fori_loop(0, nstrips, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("tb", "ring", "interpret"))
+def hop_score_int8(
+    nbr_pack: jnp.ndarray,   # [N_pad, M0, D] int8 packed neighborhood codes
+    queries: jnp.ndarray,    # [B, D] f32 (scored as bf16 — NOT quantized)
+    sel_rows: jnp.ndarray,   # [B, E] int32 node rows (invalid -> clamp 0)
+    *,
+    tb: int = 1024,
+    ring: int = 3,
+    interpret: bool = False,
+):
+    """Fused gather+score over int8 packed blocks. Returns RAW dots
+    [B, E*M0] f32 (~ q . round(v/scale)); the caller multiplies by the
+    per-packed-row dequant scale and supplies squared norms separately."""
+    n_pad, m0, d = nbr_pack.shape
+    b, e = sel_rows.shape
+    s = STRIP
+    c = e * m0
+    b_pad = -(-b // s) * s
+    sel = jnp.maximum(sel_rows, 0)
+    q = queries.astype(jnp.float32)
+    if b_pad != b:
+        sel = jnp.pad(sel, ((0, b_pad - b), (0, 0)))
+        q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
+    tb = min(tb, b_pad)
+    if b_pad % tb != 0:
+        tb = next(t for t in range(tb, 0, -s) if b_pad % t == 0 and t % s == 0)
+    sq = max(1, min(ring, tb // s))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, d), lambda i, sel_ref: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, c), lambda i, sel_ref: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sq, s * c, d), nbr_pack.dtype),
+            pltpu.SemaphoreType.DMA((sq, s, e)),
+        ],
+    )
+    (dots,) = pl.pallas_call(
+        _make_kernel_int8(tb, e, m0, d, sq, s),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sel.reshape(-1), q, nbr_pack)
+    return dots[:b]

@@ -7,11 +7,19 @@ import os
 # Pin tests to a virtual 8-device CPU backend. The environment may force a
 # TPU platform via JAX_PLATFORMS (e.g. the axon tunnel), so overriding the
 # env var is not enough — set the config before any backend initializes.
-os.environ["JAX_PLATFORMS"] = "cpu"
-import jax  # noqa: E402
+#
+# HNSW_TPU_REAL=1 keeps the REAL backend instead, for the opt-in on-chip
+# kernel smoke tests (tests/test_real_tpu.py): interpret mode cannot catch
+# Mosaic's alignment rejections, only a real compile does. Run those alone
+# (`HNSW_TPU_REAL=1 python -m pytest tests/test_real_tpu.py -x -q`) — the
+# rest of the suite is sized for the CPU backend and would crawl through
+# the device relay.
+if not os.environ.get("HNSW_TPU_REAL"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
