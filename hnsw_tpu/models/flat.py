@@ -178,17 +178,21 @@ class FlatIndex(ANNIndex):
         # the per-row-scale ordering alone) on BOTH the Pallas and the XLA
         # fallback path — see _int8_pallas / int8_topk.
         self.int8_fetch = int8_fetch
-        # "auto" | "bucket" | "sweep": which fused Pallas selection kernel
-        # the bf16/int8 paths use. The bucketed kernel (one tree-reduction
-        # per tile, exact up to 3-way bucket collisions ~1e-3/query at k=10)
-        # replaces the k sequential min-sweeps that kept the sweep kernel at
-        # ~25% MFU; "auto" resolves to "bucket" on TPU.
+        # "auto" | "bucket" | "sweep" | "packed": which fused Pallas
+        # selection kernel the bf16/int8 paths use. The bucketed kernel
+        # (one tree-reduction per tile, exact up to 3-way bucket collisions
+        # ~1e-3/query at k=10) replaces the k sequential min-sweeps that
+        # kept the sweep kernel at ~25% MFU; "packed" (int8 cosine/dot
+        # only) additionally packs the group id into the key's mantissa so
+        # the selection runs payload-free (see pallas_scan.py); "auto"
+        # resolves to "bucket".
         self.scan_kernel = scan_kernel
         self._pallas_arrays = None
         self._int8_arrays = None
 
     def _use_bucket(self) -> bool:
-        return self.scan_kernel in ("auto", "bucket")
+        # "packed" is int8-specific; the bf16 path treats it as bucket
+        return self.scan_kernel in ("auto", "bucket", "packed")
 
     def _get_int8_arrays(self):
         if self._int8_arrays is None or len(self._int8_arrays) != 2:
@@ -231,8 +235,11 @@ class FlatIndex(ANNIndex):
         v8, vs, vsq, _ = self._int8_arrays
 
         b = q.shape[0]
-        if self._use_bucket():
-            from hnsw_tpu.ops.pallas_scan import pallas_int8_bucket_topk
+        kname = "bucket" if self.scan_kernel == "auto" else self.scan_kernel
+        if kname == "packed" and self.corpus.metric not in (Metric.COSINE,
+                                                            Metric.DOT):
+            kname = "bucket"   # euclidean key has no static bias bound
+        if kname in ("bucket", "packed"):
             # small query tiles over deep int8 corpus tiles: bt=256/nt=2048
             # measured ~6-7% over 1024/1024 across three pool windows
             # (scripts/_probe_r4h.py)
@@ -249,16 +256,21 @@ class FlatIndex(ANNIndex):
         q8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
         qmeta = jnp.concatenate(
             [qscale, jnp.sum(qf * qf, axis=1, keepdims=True)], axis=1)
-        kern = pallas_int8_bucket_topk if self._use_bucket() \
-            else pallas_int8_topk
+        if kname == "packed":
+            from hnsw_tpu.ops.pallas_scan import pallas_int8_packed_topk
+            kern = pallas_int8_packed_topk
+        else:
+            kern = pallas_int8_bucket_topk if kname == "bucket" \
+                else pallas_int8_topk
         dk, cand = kern(v8, vs, vsq, q8, qmeta, self.corpus.n,
                         k=(fetch if fetch > 0 else k),
                         metric=self.corpus.metric, bt=bt, nt=nt)
         if fetch <= 0:
             # coarse-only: reconstruct distances from the monotone key
-            # (bucket kernel; the sweep kernel already emits approx dists)
+            # (bucket/packed kernels share the same key semantics; the
+            # sweep kernel already emits approx dists)
             dk, cand = dk[:b], cand[:b]
-            if self._use_bucket():
+            if kname in ("bucket", "packed"):
                 qscale = qmeta[:b, 0:1]
                 q_sq = qmeta[:b, 1:2]
                 if self.corpus.metric == Metric.COSINE:

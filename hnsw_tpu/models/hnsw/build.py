@@ -653,7 +653,8 @@ def build_graph(
                 corpus.vectors, corpus.sq_norms, members0,
                 cap=m0, k_cand=k_cand, metric=metric, seed=seed,
                 n_probe_clusters=large_probe_clusters,
-                refine_rounds=large_refine_rounds)
+                refine_rounds=large_refine_rounds,
+                precision=build_precision, progress=progress)
         else:
             pending.append((0, *build_layer_dispatch(
                 corpus.vectors, members0, cap=m0, k_cand=k_cand,
@@ -671,7 +672,8 @@ def build_graph(
                 corpus.vectors, corpus.sq_norms, members,
                 cap=m, k_cand=min(k_cand, 4 * m), metric=metric, seed=seed,
                 n_probe_clusters=large_probe_clusters,
-                refine_rounds=large_refine_rounds)
+                refine_rounds=large_refine_rounds,
+                precision=build_precision, progress=progress)
         elif len(members) > HOST_LAYER_MAX:
             pending.append((l, *build_layer_dispatch(
                 corpus.vectors, members, cap=m,

@@ -11,6 +11,16 @@ heuristic + reverse-edge symmetrization as the exact builder, so graph
 semantics match graph.clj:163-236; only candidate *generation* is
 approximate (boundary nodes may miss a few true neighbors in distant
 cells — the standard trade of every bucketed ANN builder).
+
+Orchestration (round 5): the whole layer stays ON DEVICE end to end. The
+per-cell pass is one fused dispatch per cell scattered into a device
+adjacency (no per-cell host syncs — the round-4 builder paid 2 synchronous
+relay round-trips per cell), symmetrization is one fused scan dispatch (the
+round-4 version looped ~ns/1024 synced `select_from_candidates` calls: at
+500k that was ~1,500 relay round-trips across its three invocations), and
+the adjacency crosses to the host exactly once at the end. Scoring runs at
+bf16 for cosine (the candidate sets are rank-robust; round-4 scored cells
+and symmetrization with 6-pass f32 GEMMs).
 """
 
 from __future__ import annotations
@@ -22,21 +32,116 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hnsw_tpu.models.flat import exact_topk
 from hnsw_tpu.models.hnsw.build import (
     NONE, _heuristic_impl, _pairwise_among_impl, _pow2_at_least,
-    reverse_candidates, select_from_candidates,
+    _select_sorted_impl,
 )
 from hnsw_tpu.ops.distance import BIG, _dist_bc
 from hnsw_tpu.ops.kmeans import train_kmeans
-from hnsw_tpu.types import Corpus, Metric
+from hnsw_tpu.ops.topk import top_k_ascending
+from hnsw_tpu.types import Metric
 
 # threshold at which build_graph delegates here
 LARGE_N = 150_000
 
+_BIG_ID = jnp.int32(1 << 30)
+
+
+@partial(jax.jit, static_argnames=("cap", "kq", "metric", "precision"))
+def _cell_build(src, src_sq, pool_rows, mc_rows, n_pool, *, cap: int,
+                kq: int, metric: Metric, precision: str):
+    """Forward adjacency for one cell, one dispatch: scan the cell's probe
+    pool (cell + neighbor cells), take the top-kq exact candidates, run the
+    construction heuristic. src is the (padded) layer vector array — bf16
+    for the cosine fast path, f32 for "highest". pool_rows [P_pad] / mc_rows
+    [MT] are LOCAL layer ids, -1 padded. Returns sel [MT, cap] local ids."""
+    n_pool = jnp.asarray(n_pool, jnp.int32)
+    pv = jnp.take(src, jnp.maximum(pool_rows, 0), axis=0)      # [P_pad, D]
+    pv_sq = jnp.take(src_sq, jnp.maximum(pool_rows, 0), axis=0)
+    live_pool = (jnp.arange(pool_rows.shape[0]) < n_pool) & (pool_rows >= 0)
+    q = jnp.take(src, jnp.maximum(mc_rows, 0), axis=0)         # [MT, D]
+    q_sq = jnp.take(src_sq, jnp.maximum(mc_rows, 0), axis=0)[:, None]
+    if precision == "bf16":
+        dots = jnp.dot(q.astype(jnp.bfloat16), pv.astype(jnp.bfloat16).T,
+                       preferred_element_type=jnp.float32)
+    else:
+        dots = jnp.dot(q, pv.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    dist = _dist_bc(dots, q_sq, pv_sq[None, :], metric)        # [MT, P_pad]
+    dist = jnp.where(live_pool[None, :], dist, BIG)
+    dist = jnp.where(pool_rows[None, :] == mc_rows[:, None], BIG, dist)
+    d_cand, idx = top_k_ascending(dist, kq)
+    cand = jnp.where(d_cand < BIG, jnp.take(pool_rows, idx), -1)
+    sel, _ = _select_sorted_impl(cand, d_cand, src, src_sq, cap=cap,
+                                 metric=metric, precision=precision)
+    return jnp.where((mc_rows >= 0)[:, None], sel, -1)
+
+
+@jax.jit
+def _scatter_rows(fwd, idx, vals):
+    """fwd[idx] = vals with -1 / out-of-range indices dropped (NOT clipped:
+    a clipped pad index would silently overwrite the last row)."""
+    safe = jnp.where(idx >= 0, idx, fwd.shape[0])
+    return fwd.at[safe].set(vals, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("cap", "metric", "tile", "precision"))
+def _symmetrize_fused(src, src_sq, fwd, n, *, cap: int, metric: Metric,
+                      tile: int, precision: str):
+    """Reverse-edge collection + heuristic re-prune at cap, entirely on
+    device (the graph.clj:204-236 bidirectional-connect analogue): device
+    reverse edges, then a lax.scan over node tiles scoring [fwd ++ rev]
+    against each node, id-sort dedupe, distance sort, heuristic. One
+    dispatch; the adjacency never visits the host."""
+    from hnsw_tpu.models.hnsw.build import _reverse_device
+
+    ns_pad = fwd.shape[0]
+    n = jnp.asarray(n, jnp.int32)
+    num_tiles = ns_pad // tile
+    rev, _ = _reverse_device(fwd, jnp.zeros(fwd.shape, jnp.float32),
+                             rev_cap=cap)
+
+    def body(_, ti):
+        start = ti * tile
+        cand = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(fwd, start, tile, 0),
+            jax.lax.dynamic_slice_in_dim(rev, start, tile, 0),
+        ], axis=1)                                             # [T, 2cap]
+        selfi = start + jnp.arange(tile, dtype=jnp.int32)
+        valid = (cand >= 0) & (cand != selfi[:, None]) \
+            & (selfi < n)[:, None]
+        q = jax.lax.dynamic_slice_in_dim(src, start, tile, 0)
+        q_sq = jax.lax.dynamic_slice_in_dim(src_sq, start, tile, 0)[:, None]
+        cv = jnp.take(src, jnp.maximum(cand, 0), axis=0)       # [T, 2cap, D]
+        if precision == "bf16":
+            dots = jnp.einsum("td,tcd->tc", q.astype(jnp.bfloat16),
+                              cv.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        else:
+            dots = jnp.einsum("td,tcd->tc", q, cv,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+        c_sq = jnp.take(src_sq, jnp.maximum(cand, 0), axis=0)
+        d = jnp.where(valid, _dist_bc(dots, q_sq, c_sq, metric), BIG)
+        # dedupe: id-sort, BIG-out adjacent repeats, distance sort — two
+        # variadic sorts, no lane-axis take_along_axis in the scan body
+        key_id = jnp.where(valid, cand, _BIG_ID)
+        si, sd = jax.lax.sort((key_id, d), num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((tile, 1), bool), si[:, 1:] == si[:, :-1]], axis=1)
+        sd = jnp.where(dup | (si >= _BIG_ID), BIG, sd)
+        sd2, si2 = jax.lax.sort((sd, si), num_keys=1)
+        cand2 = jnp.where(sd2 < BIG, si2, -1)
+        sel, _ = _select_sorted_impl(cand2, sd2, src, src_sq, cap=cap,
+                                     metric=metric, precision=precision)
+        return 0, jnp.where((selfi < n)[:, None], sel, -1)
+
+    _, out = jax.lax.scan(body, 0, jnp.arange(num_tiles, dtype=jnp.int32))
+    return out.reshape(ns_pad, cap)
+
 
 @partial(jax.jit, static_argnames=("cap", "kq", "metric", "tile"))
-def _refine_fused(sub, sub_sq, adj, n, *, cap: int, kq: int, metric: Metric,
+def _refine_fused(src, src_sq, adj, n, *, cap: int, kq: int, metric: Metric,
                   tile: int):
     """One NN-descent round over a built layer: each node's candidate pool
     is its neighbors + neighbors-of-neighbors (the 2-hop ball of the
@@ -47,15 +152,15 @@ def _refine_fused(sub, sub_sq, adj, n, *, cap: int, kq: int, metric: Metric,
     through any shared neighbor (the standard NN-descent convergence
     argument). Returns a refined FORWARD adjacency [ns_pad, cap] in local
     ids (-1 padded); the caller re-symmetrizes."""
-    ns_pad = sub.shape[0]
+    ns_pad = src.shape[0]
     n = jnp.asarray(n, jnp.int32)
-    sub_lp = sub.astype(jnp.bfloat16)
+    sub_lp = src if src.dtype == jnp.bfloat16 else src.astype(jnp.bfloat16)
     num_tiles = ns_pad // tile
-    big_id = jnp.int32(1 << 30)
 
     def body(_, ti):
         start = ti * tile
-        q = jax.lax.dynamic_slice_in_dim(sub, start, tile, 0)     # [T, D]
+        q = jax.lax.dynamic_slice_in_dim(src, start, tile, 0)     # [T, D]
+        q_sq = jax.lax.dynamic_slice_in_dim(src_sq, start, tile, 0)[:, None]
         nb = jax.lax.dynamic_slice_in_dim(adj, start, tile, 0)    # [T, cap]
         nb2 = jnp.take(adj, jnp.maximum(nb, 0), axis=0)           # [T,cap,cap]
         nb2 = jnp.where((nb >= 0)[:, :, None], nb2, -1)
@@ -66,22 +171,21 @@ def _refine_fused(sub, sub_sq, adj, n, *, cap: int, kq: int, metric: Metric,
         cv = jnp.take(sub_lp, rows, axis=0)                       # [T, C, D]
         dots = jnp.einsum("td,tcd->tc", q.astype(jnp.bfloat16), cv,
                           preferred_element_type=jnp.float32)
-        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
-        c_sq = jnp.take(sub_sq, rows, axis=0)
+        c_sq = jnp.take(src_sq, rows, axis=0)
         d = jnp.where(valid, _dist_bc(dots, q_sq, c_sq, metric), BIG)
         # dedupe without an O(C^2) mask (C is ~cap^2): sort by id, BIG-out
         # adjacent repeats, then sort by distance — two variadic lax.sorts,
         # no lane-axis take_along_axis inside the scan body
-        key_id = jnp.where(valid, cand, big_id)
+        key_id = jnp.where(valid, cand, _BIG_ID)
         si, sd = jax.lax.sort((key_id, d), num_keys=1)
         dup = jnp.concatenate(
             [jnp.zeros((tile, 1), bool), si[:, 1:] == si[:, :-1]], axis=1)
-        sd = jnp.where(dup | (si >= big_id), BIG, sd)
+        sd = jnp.where(dup | (si >= _BIG_ID), BIG, sd)
         sd2, si2 = jax.lax.sort((sd, si), num_keys=1)
         d_k = sd2[:, :kq]
         cand_k = jnp.where(d_k < BIG, si2[:, :kq], -1)
         gat = jnp.take(sub_lp, jnp.maximum(cand_k, 0), axis=0)
-        gsq = jnp.take(sub_sq, jnp.maximum(cand_k, 0), axis=0)
+        gsq = jnp.take(src_sq, jnp.maximum(cand_k, 0), axis=0)
         pair_d = _pairwise_among_impl(gat, gsq, metric, "bf16")
         sel = _heuristic_impl(cand_k, d_k, pair_d, cap=cap)
         return 0, jnp.where((selfi < n)[:, None], sel, -1)
@@ -103,12 +207,20 @@ def build_layer_clustered(
     refine_rounds: int = 1,
     seed: int = 42,
     tile: int = 1024,
+    precision: str = "bf16",
+    progress=None,            # callable(stage, frac): "large_kmeans",
+                              # "large_cells", "large_sym{i}",
+                              # "large_refine{i}", "large_fetch"
 ) -> np.ndarray:
     """One-layer adjacency via bucketed candidate generation, optionally
     polished by refine_rounds of NN-descent (_refine_fused) — the cure for
     the boundary-node quality cap of pure bucketing (round-3: 500k recall
     plateaued at ~0.95 with the 2-probe pool).
     Returns [ns, cap] of GLOBAL row ids (-1 padded)."""
+    def _tick(stage, frac=0.0):
+        if progress is not None:
+            progress(stage, frac)
+
     ns = len(member_rows)
     member_rows = np.asarray(member_rows, np.int32)
     kk = max(2, ns // cluster_size)
@@ -124,6 +236,7 @@ def build_layer_clustered(
         sub_gather = jnp.asarray(member_rows)
         sub = jnp.take(vectors, sub_gather, axis=0)
         sub_sq = jnp.take(v_sq, sub_gather, axis=0)
+    _tick("large_kmeans")
     cents, assign_j = train_kmeans(sub, sub_sq, ns, k=kk, seed=seed,
                                    iters=3, metric=metric)
     assign = np.asarray(assign_j)[:ns]
@@ -146,77 +259,52 @@ def build_layer_clustered(
     cmax = max((len(m) for m in members), default=1)
     pool_pad = _pow2_at_least(max(cmax * (n_probe_clusters + 1), 2), 1024)
 
-    fwd_local = np.full((ns, cap), NONE, np.int32)
+    # one padded score array serves every fused pass: bf16 for the cosine
+    # fast path (half the gather bytes of f32), f32 for "highest"
+    ns_pad = ((ns + tile - 1) // tile) * tile
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    src = jnp.zeros((ns_pad, sub.shape[1]), dt).at[:ns].set(
+        sub[:ns].astype(dt))
+    src_sq = jnp.zeros((ns_pad,), jnp.float32).at[:ns].set(sub_sq[:ns])
+
+    # --- per-cell candidate pass: all dispatches queued, ZERO host syncs
+    _tick("large_cells")
+    fwd = jnp.full((ns_pad, cap), NONE, jnp.int32)
+    kq = min(k_cand + 1, pool_pad)
     for c in range(kk):
         mc = members[c]
         if len(mc) == 0:
             continue
-        pool = np.concatenate([members[p] for p in probe[c]])
-        pool = pool[:pool_pad]
-        pool_padded = np.zeros(pool_pad, np.int32)
+        pool = np.concatenate([members[p] for p in probe[c]])[:pool_pad]
+        pool_padded = np.full(pool_pad, NONE, np.int32)
         pool_padded[: len(pool)] = pool
-        pv = jnp.take(sub, jnp.asarray(pool_padded), axis=0)
-        mask = (jnp.arange(pool_pad) < len(pool))[:, None]
-        pv = jnp.where(mask, pv, 0.0)
-        pv_sq = jnp.sum(pv * pv, axis=-1)
-
-        kq = min(k_cand + 1, len(pool))
-        # query tiles over the cell's members
         mt = _pow2_at_least(max(len(mc), 1), min(tile, pool_pad))
-        mc_padded = np.zeros(mt, np.int32)
+        mc_padded = np.full(mt, NONE, np.int32)
         mc_padded[: len(mc)] = mc
-        q = jnp.take(sub, jnp.asarray(mc_padded), axis=0)
-        _, loc = exact_topk(pv, pv_sq, q, k=kq, n=len(pool), metric=metric)
-        loc = np.asarray(loc)
-        cand = np.where(loc >= 0, pool_padded[np.maximum(loc, 0)], NONE)
-        sel = select_from_candidates(
-            q, jnp.asarray(cand), sub, sub_sq,
-            jnp.asarray(mc_padded), cap=cap, metric=metric)
-        fwd_local[mc] = np.asarray(sel)[: len(mc)]
+        sel = _cell_build(src, src_sq, jnp.asarray(pool_padded),
+                          jnp.asarray(mc_padded), len(pool), cap=cap,
+                          kq=kq, metric=metric, precision=precision)
+        fwd = _scatter_rows(fwd, jnp.asarray(mc_padded), sel)
 
-    # --- symmetrize (same as the exact builder) ----------------------
-    out_local = _symmetrize(sub, sub_sq, fwd_local, ns, cap=cap,
-                            metric=metric, tile=tile)
-
-    # --- NN-descent polish rounds ------------------------------------
+    # --- symmetrize + NN-descent polish, all on device ----------------
+    _tick("large_sym0")
+    out = _symmetrize_fused(src, src_sq, fwd, ns, cap=cap, metric=metric,
+                            tile=tile, precision=precision)
     if refine_rounds > 0 and ns > cluster_size:
         rt = 512                       # [T, ~cap^2, D] gather working set
-        ns_pad = ((ns + rt - 1) // rt) * rt
-        sub_pad = jnp.zeros((ns_pad, sub.shape[1]),
-                            sub.dtype).at[:ns].set(sub[:ns])
-        sq_pad = jnp.zeros((ns_pad,), jnp.float32).at[:ns].set(sub_sq[:ns])
-        for _ in range(refine_rounds):
-            adj_pad = np.full((ns_pad, cap), NONE, np.int32)
-            adj_pad[:ns] = out_local
-            fwd2 = np.asarray(_refine_fused(
-                sub_pad, sq_pad, jnp.asarray(adj_pad), ns,
-                cap=cap, kq=max(64, 2 * cap), metric=metric, tile=rt))[:ns]
-            out_local = _symmetrize(sub, sub_sq, fwd2, ns, cap=cap,
-                                    metric=metric, tile=tile)
+        for i in range(refine_rounds):
+            _tick(f"large_refine{i + 1}")
+            fwd2 = _refine_fused(src, src_sq, out, ns, cap=cap,
+                                 kq=max(64, 2 * cap), metric=metric, tile=rt)
+            _tick(f"large_sym{i + 1}")
+            out = _symmetrize_fused(src, src_sq, fwd2, ns, cap=cap,
+                                    metric=metric, tile=tile,
+                                    precision=precision)
 
+    # the one device->host adjacency crossing of the whole layer
+    _tick("large_fetch")
+    out_local = np.asarray(out)[:ns]
+    _tick("large_fetch", 1.0)
     return np.where(out_local >= 0,
                     member_rows[np.maximum(out_local, 0)],
                     NONE).astype(np.int32)
-
-
-def _symmetrize(sub, sub_sq, fwd_local: np.ndarray, ns: int, *, cap: int,
-                metric: Metric, tile: int) -> np.ndarray:
-    """Reverse-edge collection + heuristic re-prune at cap (the
-    graph.clj:204-236 bidirectional-connect analogue, shared by the initial
-    bucketed pass and every refinement round)."""
-    rev_local = reverse_candidates(fwd_local, ns, rev_cap=cap)
-    both = np.concatenate([fwd_local, rev_local], axis=1)
-    out_local = np.full((ns, cap), NONE, np.int32)
-    step = _pow2_at_least(min(tile, ns), 8)
-    for start in range(0, ns, step):
-        stop = min(start + step, ns)
-        cand = np.full((step, both.shape[1]), NONE, np.int32)
-        cand[: stop - start] = both[start:stop]
-        selfi = np.full(step, NONE, np.int32)
-        selfi[: stop - start] = np.arange(start, stop)
-        q = jnp.take(sub, jnp.asarray(np.maximum(selfi, 0)), axis=0)
-        sel = select_from_candidates(
-            q, jnp.asarray(cand), sub, sub_sq, jnp.asarray(selfi),
-            cap=cap, metric=metric)
-        out_local[start:stop] = np.asarray(sel)[: stop - start]
-    return out_local

@@ -455,6 +455,148 @@ def pallas_int8_bucket_topk(
 
 
 # ---------------------------------------------------------------------------
+# packed-key int8 bucket variant (cosine/dot): the bucketed kernel above is
+# VPU-EPILOGUE bound at int8 MXU rate — its per-tile selection runs ~14
+# full-tile VPU passes (key cast+mult, a rows iota, and min2 carrying a
+# separate row-id payload through where/min pairs), ~3x the int8 matmul
+# time at bt=256/nt=2048. This variant makes the selection payload-free:
+# the f32 key is biased POSITIVE (positive floats compare like their int32
+# bit patterns), the low mantissa bits are overwritten with the in-bucket
+# group index, and min2 becomes two pure int32 min-reductions — ~9 passes,
+# no payload arrays. Row ids are reconstructed from the surviving packed
+# values on [BT, c]-sized arrays (1/g of the tile). The masked mantissa
+# bits cost ~BIAS * 2^-23 * 2^bits of key precision (~0.03 absolute at
+# BIAS=16384, bits=4) — far below int8 quantization noise.
+# Cosine/dot only: their keys have a static magnitude bound (|key| <=
+# 127*sqrt(d) < BIAS); the euclidean key does not, so euclidean stays on
+# the payload-carrying kernel.
+# ---------------------------------------------------------------------------
+
+PACK_BIAS = 16384.0       # > 127*sqrt(d) for d <= 8192: biased key stays
+                          # positive, in binade [2^14, 2^15)
+# 1.7e38 as f32 bits — finite (NOT NaN: NaN breaks min), sorts after any
+# biased key. Plain python int: a jnp scalar would be captured as a traced
+# constant inside the pallas kernel.
+_INVALID_PACKED = 0x7F000000
+
+
+def _make_kernel_int8_packed(nt: int, metric: Metric):
+    c = KPAD
+    g = nt // c
+    gbits = max((g - 1).bit_length(), 1)
+    gmask = (1 << gbits) - 1
+
+    def kernel(n_ref, q_ref, v_ref, vkey_ref, outd_ref, outi_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            outd_ref[:] = jnp.full(outd_ref.shape, BIG, jnp.float32)
+            outi_ref[:] = jnp.full(outi_ref.shape, -1, jnp.int32)
+
+        dots = jnp.dot(q_ref[:], v_ref[:].T,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        nvkey = vkey_ref[:].reshape(1, nt)    # pre-negated: key = dots*nvkey
+        key = dots * nvkey + PACK_BIAS        # one FMA pass, all positive
+        si = jax.lax.bitcast_convert_type(key, jnp.int32)
+        bt = si.shape[0]
+        si3 = si.reshape(bt, g, c)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (1, g, c), 1)
+        si3 = (si3 & ~gmask) | gi             # group id rides the low bits
+        # n-mask: corpus row of element (g_idx, lane) is ti*nt + g_idx*c+lane
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, g, c), 1) * c + \
+            jax.lax.broadcasted_iota(jnp.int32, (1, g, c), 2)
+        si3 = jnp.where(ti * nt + j < n_ref[0], si3, _INVALID_PACKED)
+        b1 = jnp.min(si3, axis=1)             # [BT, c] packed best
+        b2 = jnp.min(jnp.where(si3 == b1[:, None, :], _INVALID_PACKED, si3),
+                     axis=1)
+        # decode on [BT, c]: key bits (id bits zeroed) + reconstructed row
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, c), 1)
+
+        def decode(b):
+            kf = jax.lax.bitcast_convert_type(b & ~gmask, jnp.float32)
+            row = ti * nt + (b & gmask) * c + lane
+            ok = b < _INVALID_PACKED
+            return jnp.where(ok, kf, BIG), jnp.where(ok, row, -1)
+
+        t1, tr1 = decode(b1)
+        t2, tr2 = decode(b2)
+        n1, ni1, n2, ni2 = _merge_pair2(
+            outd_ref[:, :c], outi_ref[:, :c],
+            outd_ref[:, c:], outi_ref[:, c:],
+            t1, tr1, t2, tr2)
+        outd_ref[:, :c] = n1
+        outd_ref[:, c:] = n2
+        outi_ref[:, :c] = ni1
+        outi_ref[:, c:] = ni2
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "bt", "nt", "interpret"))
+def pallas_int8_packed_topk(
+    v8: jnp.ndarray,        # int8 [N_pad, D]
+    vscale: jnp.ndarray,    # f32 [N_pad] per-row dequant scale
+    v_sq: jnp.ndarray,      # f32 [N_pad] exact squared norms
+    q8: jnp.ndarray,        # int8 [B, D]
+    qmeta: jnp.ndarray,     # f32 [B, 2]: (dequant scale, exact |q|^2)
+    n,
+    *,
+    k: int,
+    metric: Metric,
+    bt: int = INT8_BT,
+    nt: int = INT8_NT,
+    interpret: bool = False,
+):
+    """Packed-key bucketed int8 coarse scan (cosine/dot). Returns
+    (biased keys [B, k] — still carrying PACK_BIAS, for the caller's
+    distance reconstruction — and candidate rows [B, k])."""
+    assert metric in (Metric.COSINE, Metric.DOT), metric
+    n_pad, d = v8.shape
+    b = q8.shape[0]
+    assert n_pad % nt == 0 and b % bt == 0, (n_pad, nt, b, bt)
+    n_arr = jnp.full((1,), n, jnp.int32)
+    if metric == Metric.COSINE:
+        nvkey = -vscale / jnp.sqrt(jnp.maximum(v_sq, 1e-12))
+    else:
+        nvkey = -vscale
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bt, n_pad // nt),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((nt, d), lambda bi, ti, n_ref: (ti, 0)),
+            pl.BlockSpec((nt,), lambda bi, ti, n_ref: (ti,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, 2 * KPAD), lambda bi, ti, n_ref: (bi, 0)),
+            pl.BlockSpec((bt, 2 * KPAD), lambda bi, ti, n_ref: (bi, 0)),
+        ],
+    )
+    bank_d, bank_r = pl.pallas_call(
+        _make_kernel_int8_packed(nt, metric),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2 * KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2 * KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_arr, q8, v8, nvkey)
+
+    from hnsw_tpu.ops.topk import top_k_ascending
+    dk, sel = top_k_ascending(bank_d, min(k, bank_d.shape[-1]))
+    rk = jnp.take_along_axis(bank_r, sel, axis=-1)
+    ok = (dk < BIG) & (rk >= 0)
+    dk = jnp.where(ok, dk - PACK_BIAS, BIG)   # un-bias: raw monotone key
+    rk = jnp.where(ok, rk, -1)
+    if rk.shape[-1] < k:
+        rk = jnp.pad(rk, ((0, 0), (0, k - rk.shape[-1])), constant_values=-1)
+        dk = jnp.pad(dk, ((0, 0), (0, k - dk.shape[-1])), constant_values=BIG)
+    return dk, rk
+
+
+# ---------------------------------------------------------------------------
 # int8 variant: quantized coarse scan (scores = int8 MXU dots dequantized
 # with per-row scales; exact norms supplied separately)
 # ---------------------------------------------------------------------------

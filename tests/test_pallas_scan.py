@@ -159,6 +159,70 @@ def test_int8_bucketed_candidates():
     assert recall_at_k(np.asarray(r), exact) >= 0.98
 
 
+@pytest.mark.parametrize("metric", ["cosine", "dot"])
+def test_int8_packed_matches_bucket(metric):
+    """The packed-key kernel (payload-free min2; see pallas_scan.py) must
+    return the same candidate ordering as the payload-carrying bucket
+    kernel, and its un-biased keys must match the bucket kernel's keys to
+    within the masked-mantissa quantum (~0.03 absolute at BIAS=16384)."""
+    from hnsw_tpu.ops.pallas_scan import (pallas_int8_bucket_topk,
+                                          pallas_int8_packed_topk)
+
+    data = make_unit(900, 64, seed=93)
+    c = Corpus.from_array(data, metric=metric)
+    n_pad = 1024
+    v = jnp.zeros((n_pad, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-12)
+    vscale = vmax / 127.0
+    v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
+    vsq = jnp.zeros((n_pad,)).at[: c.n_pad].set(c.sq_norms)
+    qf = c.pad_queries(data[:64])
+    qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                         1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+    qmeta = jnp.concatenate([qscale, jnp.sum(qf * qf, 1, keepdims=True)], 1)
+    args = (v8, vscale[:, 0], vsq, q8, qmeta, c.n)
+    kw = dict(k=10, metric=Metric(metric), bt=64, nt=256, interpret=True)
+    db, rb = pallas_int8_bucket_topk(*args, **kw)
+    dp, rp = pallas_int8_packed_topk(*args, **kw)
+    # identical candidate sets per query (order may differ inside the
+    # masked-mantissa quantum)
+    for i in range(64):
+        assert set(np.asarray(rp)[i].tolist()) == \
+            set(np.asarray(rb)[i].tolist()), i
+    # keys agree within the packed quantum
+    assert np.abs(np.sort(np.asarray(dp), 1)
+                  - np.sort(np.asarray(db), 1)).max() < 0.05
+    # exact top-10 recovered
+    _, exact = brute_force_knn(data, data[:64], 10, metric)
+    assert recall_at_k(np.asarray(rp), exact) >= 0.97
+    # padding rows never leak
+    assert (np.asarray(rp) < 900).all() and (np.asarray(rp) >= 0).all()
+
+
+def test_int8_packed_k_greater_than_valid_rows():
+    from hnsw_tpu.ops.pallas_scan import pallas_int8_packed_topk
+
+    data = make_unit(6, 16, seed=94)
+    c = Corpus.from_array(data)
+    v = jnp.zeros((256, c.d_pad)).at[: c.n_pad].set(c.vectors)
+    vmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-12)
+    vscale = vmax / 127.0
+    v8 = jnp.clip(jnp.round(v / vscale), -127, 127).astype(jnp.int8)
+    vsq = jnp.zeros((256,)).at[: c.n_pad].set(c.sq_norms)
+    qf = jnp.tile(c.pad_queries(data[:1]), (64, 1))
+    qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                         1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+    qmeta = jnp.concatenate([qscale, jnp.sum(qf * qf, 1, keepdims=True)], 1)
+    d, r = pallas_int8_packed_topk(v8, vscale[:, 0], vsq, q8, qmeta, c.n,
+                                   k=10, metric=Metric.COSINE, bt=64,
+                                   nt=256, interpret=True)
+    r = np.asarray(r)
+    assert (r[0, :6] >= 0).all()
+    assert (r[0, 6:] == -1).all()
+
+
 @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
 def test_int8_coarse_distance_reconstruction(metric):
     """Coarse-only int8 mode (FlatIndex int8_fetch=0) reconstructs true
