@@ -50,7 +50,11 @@ class IVFHNSWIndex(ANNIndex):
 
     def __init__(self, corpus: Corpus, *, centroids, medoids, adj0,
                  num_partitions: int, m: int, seed: int = 42,
-                 expand: int = 4, samples=None):
+                 expand: int = 8, samples=None):
+        # expand=8 (hop width c=256): halves the shared multi-entry beam's
+        # hop count; Pallas-eligible since the round-5 VMEM recalibration
+        # (ops/pallas_hop.py) — measured 21.1k QPS @ 0.950 vs 17.8k @ 0.939
+        # at expand=4 (scripts/_probe_r5c.py)
         super().__init__(corpus)
         self.centroids = centroids     # [K, D]
         self.medoids = medoids         # int32 [K] entry row per cluster

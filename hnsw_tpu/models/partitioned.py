@@ -123,7 +123,14 @@ class PartitionedHNSWIndex(ANNIndex):
         mode = Mode.coerce(mode)
         if k_per_partition is None and mode == Mode.PRECISE:
             k_per_partition = k
-        ef = ef if ef is not None else ef_for(mode, k)
+        if ef is None:
+            # partitioned-specific accurate point: the shared beam's
+            # recall ladder measured ef=300 -> 0.953, 420 -> 0.983,
+            # 500 -> 0.992 at 31k/8 shards (scripts/_probe_r5c.py), so the
+            # generic accurate preset (300) sits under the family's
+            # documented 90-95% band's top while 420 clears 0.98 at 11.5k
+            # QPS — a true mid-rung between balanced and precise
+            ef = 420 if mode == Mode.ACCURATE else ef_for(mode, k)
         if k_per_partition is not None:
             ef = max(ef, self.num_partitions * k_per_partition)
 

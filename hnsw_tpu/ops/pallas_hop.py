@@ -38,25 +38,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 STRIP = 8  # queries per strip: the f32 sublane tile (guide: (8, 128))
 
-# Conservative per-core VMEM ceiling for auto-eligibility (v5e has ~16 MB;
-# leave headroom for compiler temporaries and double-buffered output tiles).
-VMEM_BUDGET = 14 << 20
+# Per-core VMEM ceiling for auto-eligibility. Mosaic's scoped-vmem limit is
+# 16 MB on v5e; the accounting below (ring scratch + query block + output
+# tiles — NO cat*cat temporary: Mosaic fuses the squaring reduction rather
+# than materializing the f32 [S*C, D] temporary, verified by a real compile
+# at c=256/d=768 in round 5, scripts/_probe_r5b.py force=True) is
+# calibrated so c=256 at 768d passes — measured 9.1k QPS vs 5.2k on the
+# XLA fallback the old conservative estimate forced partitioned HNSW onto.
+VMEM_BUDGET = (15 << 20) + (1 << 19)
 
 
 def hop_score_eligible(dim: int, m0: int, *, expand: int, ef: int,
                        tb: int = 1024, ring: int = 3) -> bool:
     """Whether hop_score can compile for this shape: lane alignment on the
     ACTUAL hop width c = min(expand, ef) * m0 (not a hardcoded 4*m0 — the
-    callers' expand/ef choices change c), and the kernel's resident VMEM —
-    ring scratch + cat*cat temporary + query block + both f32 outputs —
-    within budget. At dim >= 1536 the default tb=1024 exceeds ~16 MB, so
-    auto-selection falls back to the XLA einsum path instead of dying in
-    Mosaic."""
+    callers' expand/ef choices change c), and the kernel's resident VMEM
+    within budget. At dim >= 1536 the default tb=1024 exceeds the scoped
+    limit, so auto-selection falls back to the XLA einsum path instead of
+    dying in Mosaic."""
     c = min(expand, max(ef, 1)) * m0
     if dim % 128 != 0 or c % 128 != 0:
         return False
     vmem = (ring * STRIP * c * dim * 2      # packed-block ring scratch (bf16)
-            + STRIP * c * dim * 2           # cat*cat squaring temporary
             + tb * dim * 4                  # query block (f32)
             + 2 * tb * c * 4)               # dots/csq output tiles (f32)
     return vmem <= VMEM_BUDGET
@@ -78,7 +81,7 @@ def hop_score_int8_eligible(dim: int, m0: int, *, expand: int, ef: int,
             + STRIP * c * dim * 2      # bf16 conversion temporary
             + tb * dim * 4             # query block (f32)
             + tb * c * 4)              # dots output tile (f32)
-    return vmem <= VMEM_BUDGET
+    return vmem <= VMEM_BUDGET - (1 << 20)
 
 
 def _make_kernel(tb: int, e: int, m0: int, d: int, sq: int, s: int):

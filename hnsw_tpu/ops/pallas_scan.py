@@ -455,21 +455,31 @@ def pallas_int8_bucket_topk(
 
 
 # ---------------------------------------------------------------------------
-# packed-key int8 bucket variant (cosine/dot): the bucketed kernel above is
-# VPU-EPILOGUE bound at int8 MXU rate — its per-tile selection runs ~14
-# full-tile VPU passes (key cast+mult, a rows iota, and min2 carrying a
-# separate row-id payload through where/min pairs), ~3x the int8 matmul
-# time at bt=256/nt=2048. This variant makes the selection payload-free:
-# the f32 key is biased POSITIVE (positive floats compare like their int32
-# bit patterns), the low mantissa bits are overwritten with the in-bucket
-# group index, and min2 becomes two pure int32 min-reductions — ~9 passes,
-# no payload arrays. Row ids are reconstructed from the surviving packed
-# values on [BT, c]-sized arrays (1/g of the tile). The masked mantissa
-# bits cost ~BIAS * 2^-23 * 2^bits of key precision (~0.03 absolute at
-# BIAS=16384, bits=4) — far below int8 quantization noise.
-# Cosine/dot only: their keys have a static magnitude bound (|key| <=
-# 127*sqrt(d) < BIAS); the euclidean key does not, so euclidean stays on
-# the payload-carrying kernel.
+# packed-key int8 bucket variant (cosine/dot) — a MEASURED NULL RESULT,
+# kept as the recorded bound analysis of the int8 kernel (round-5 probe,
+# scripts/_probe_r5a.py, real v5e, 31,173 x 768, b=4096, one window):
+#
+#   full bucket kernel  bt=256 nt=2048   1.66 ms/call   2.46M QPS (30% peak)
+#   matmul-ONLY kernel  same tiles       0.53 ms/call   (the MXU floor)
+#   this packed kernel  bt=256 nt=2048   2.00 ms/call   2.05M QPS
+#   this packed kernel  bt=256 nt=4096   1.80 ms/call   2.28M QPS
+#
+# i.e. the int8 kernel is VPU-EPILOGUE bound (the selection epilogue is
+# ~68% of kernel time; the int8 MXU work is ~1/3), and this variant's
+# attempt to cut epilogue passes did NOT pay: it biases the f32 key
+# POSITIVE (positive floats compare like their int32 bit patterns),
+# overwrites the low mantissa bits with the in-bucket group index, and
+# runs min2 as two payload-free int32 min-reductions (~11 passes vs ~14)
+# — but int32 mins + the bitcast/mask passes measure ~17% slower than the
+# payload-carrying f32 kernel end to end. The production default stays
+# "bucket"; this kernel remains selectable (scan_kernel="packed"),
+# correctness-tested, and is the evidence that the remaining headroom to
+# the 394-TOPS peak sits in the per-element selection epilogue, not the
+# matmul or the tile geometry.
+# (Masked-mantissa key precision: ~BIAS * 2^-23 * 2^bits ~ 0.03 absolute
+# at BIAS=16384, bits=4 — far below int8 quantization noise. Cosine/dot
+# only: their keys have a static magnitude bound |key| <= 127*sqrt(d) <
+# BIAS; the euclidean key does not.)
 # ---------------------------------------------------------------------------
 
 PACK_BIAS = 16384.0       # > 127*sqrt(d) for d <= 8192: biased key stays

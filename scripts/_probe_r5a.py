@@ -41,19 +41,29 @@ def block(x):
 
 
 def slope_time(fn, *args):
-    """Async-pipeline two-point slope, seconds per call."""
-    out = fn(*args)
-    block(out[0] if isinstance(out, (tuple, list)) else out)
-    lo, t_lo = 4, None
+    """Device-sustained seconds/call: batches run inside ONE jitted
+    fori_loop with consts hoisted via make_jaxpr (bench/harness.py recipe)
+    so host contention and relay RTT are excluded. The first arg is rolled
+    per iteration to defeat LICM."""
+    cj = jax.make_jaxpr(lambda *a: fn(*a))(*args)
+    consts = tuple(cj.consts)
+
+    @jax.jit
+    def repeated(n_iters, args_t, consts_t):
+        def body(i, acc):
+            a0 = jnp.roll(args_t[0], i % 8, axis=0)
+            outs = jax.core.eval_jaxpr(cj.jaxpr, list(consts_t), a0,
+                                       *args_t[1:])
+            return acc + outs[0].ravel()[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
     def run(m):
         t0 = time.perf_counter()
-        for _ in range(m):
-            out = fn(*args)
-        block(out[0] if isinstance(out, (tuple, list)) else out)
+        float(repeated(m, args, consts))
         return time.perf_counter() - t0
 
-    n_lo, t_lo = lo, run(lo)
+    run(2)  # compile + warm
+    n_lo, t_lo = 4, run(4)
     n_hi, t_hi = n_lo, t_lo
     while t_hi < 0.35 and n_hi < 4096:
         n_lo, t_lo = n_hi, t_hi
@@ -132,23 +142,23 @@ def main():
 
     results = {}
     # a. production bucket kernel
-    f = lambda: pallas_int8_bucket_topk(
-        v8, vs, vsq, q8, qmeta, N, k=10, metric=Metric.COSINE,
+    f = lambda q, qm: pallas_int8_bucket_topk(
+        v8, vs, vsq, q, qm, N, k=10, metric=Metric.COSINE,
         bt=INT8_BT, nt=INT8_NT)
     results["bucket_256x2048"] = report(
-        "full bucket bt=256 nt=2048", slope_time(f))
+        "full bucket bt=256 nt=2048", slope_time(f, q8, qmeta))
 
     # b. matmul-only floor, same tiles
-    f = lambda: matmul_only(v8, vkey_cos, q8, N, bt=INT8_BT, nt=INT8_NT)
+    f = lambda q, qm: matmul_only(v8, vkey_cos, q, N, bt=INT8_BT, nt=INT8_NT)
     results["matmul_256x2048"] = report(
-        "matmul-only bt=256 nt=2048", slope_time(f))
+        "matmul-only bt=256 nt=2048", slope_time(f, q8, qmeta))
 
     # c. packed kernel, same tiles
-    f = lambda: pallas_int8_packed_topk(
-        v8, vs, vsq, q8, qmeta, N, k=10, metric=Metric.COSINE,
+    f = lambda q, qm: pallas_int8_packed_topk(
+        v8, vs, vsq, q, qm, N, k=10, metric=Metric.COSINE,
         bt=INT8_BT, nt=INT8_NT)
     results["packed_256x2048"] = report(
-        "packed bt=256 nt=2048", slope_time(f))
+        "packed bt=256 nt=2048", slope_time(f, q8, qmeta))
 
     # d. geometry variants on the packed kernel
     for bt, nt in ((512, 2048), (1024, 2048), (256, 4096), (512, 4096),
@@ -156,19 +166,20 @@ def main():
         if n_pad % nt:
             continue
         try:
-            f = lambda: pallas_int8_packed_topk(
-                v8, vs, vsq, q8, qmeta, N, k=10, metric=Metric.COSINE,
+            f = lambda q, qm, bt=bt, nt=nt: pallas_int8_packed_topk(
+                v8, vs, vsq, q, qm, N, k=10, metric=Metric.COSINE,
                 bt=bt, nt=nt)
             results[f"packed_{bt}x{nt}"] = report(
-                f"packed bt={bt} nt={nt}", slope_time(f))
+                f"packed bt={bt} nt={nt}", slope_time(f, q8, qmeta))
         except Exception as e:
             print(f"packed bt={bt} nt={nt}: {type(e).__name__}: {e}",
                   flush=True)
         # matmul-only floor at the same geometry for the best contenders
         try:
-            f = lambda: matmul_only(v8, vkey_cos, q8, N, bt=bt, nt=nt)
+            f = lambda q, qm, bt=bt, nt=nt: matmul_only(
+                v8, vkey_cos, q, N, bt=bt, nt=nt)
             results[f"matmul_{bt}x{nt}"] = report(
-                f"matmul-only bt={bt} nt={nt}", slope_time(f))
+                f"matmul-only bt={bt} nt={nt}", slope_time(f, q8, qmeta))
         except Exception as e:
             print(f"matmul bt={bt} nt={nt}: {type(e).__name__}: {e}",
                   flush=True)

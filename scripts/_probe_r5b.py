@@ -85,14 +85,22 @@ def main():
         _, er = exact.search_batch(data[:1024], 10)
         er = np.asarray(er)
         combos = [
-            (500, 8, 10),   # current :precise (baseline)
-            (350, 8, None),
-            (500, 4, 10),   # pallas-eligible hop width
-            (350, 4, None),
-            (300, 4, None),
-            (256, 4, None),
+            (500, 8, 10, False),   # current :precise (baseline)
+            (350, 8, None, False),
+            (500, 4, 10, False),   # pallas-eligible hop width
+            (350, 4, None, False),
+            (300, 4, None, False),
+            (256, 4, None, False),
+            # force-pallas at c=256: the eligibility VMEM estimate may be
+            # conservative — let Mosaic be the judge
+            (500, 8, 10, True),
+            (350, 8, None, True),
         ]
-        for ef, e, kpp in combos:
+        from hnsw_tpu.ops import pallas_hop
+        orig_elig = pallas_hop.hop_score_eligible
+        for ef, e, kpp, force in combos:
+            pallas_hop.hop_score_eligible = \
+                (lambda *a, **k: True) if force else orig_elig
             try:
                 v = V(idx, ef, e, kpp)
                 _, ar = v.search_batch(data[:1024], 10)
@@ -102,11 +110,14 @@ def main():
                 perf = run_search_benchmark(v, data[:1024], k=10,
                                             batch_size=1024, warmup=1,
                                             iters=4, single_query_iters=0)
-                print(f"ef={ef} expand={e} kpp={kpp}: recall={rec:.4f} "
+                print(f"ef={ef} expand={e} kpp={kpp} force={force}: "
+                      f"recall={rec:.4f} "
                       f"qps={perf.get('qps_device') or 0:.0f}", flush=True)
             except Exception as ex:
-                print(f"ef={ef} expand={e}: {type(ex).__name__}: {ex}",
-                      flush=True)
+                print(f"ef={ef} expand={e} force={force}: "
+                      f"{type(ex).__name__}: {ex}", flush=True)
+            finally:
+                pallas_hop.hop_score_eligible = orig_elig
 
 
 if __name__ == "__main__":
