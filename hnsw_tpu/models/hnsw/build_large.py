@@ -267,24 +267,31 @@ def build_layer_clustered(
         sub[:ns].astype(dt))
     src_sq = jnp.zeros((ns_pad,), jnp.float32).at[:ns].set(sub_sq[:ns])
 
-    # --- per-cell candidate pass: all dispatches queued, ZERO host syncs
+    # --- per-cell candidate pass: all dispatches queued, ZERO host syncs.
+    # The cells' pool/member id arrays ship host->device in ONE stacked
+    # upload: two small per-cell jnp.asarray transfers paid ~90 ms of relay
+    # latency each — 22 s of the 500k build (round-5 rehearsal,
+    # scripts/_probe_r5d.py) — while one [kk, pool_pad] upload is ~8 MB.
     _tick("large_cells")
     fwd = jnp.full((ns_pad, cap), NONE, jnp.int32)
     kq = min(k_cand + 1, pool_pad)
-    for c in range(kk):
-        mc = members[c]
-        if len(mc) == 0:
-            continue
+    live_cells = [c for c in range(kk) if len(members[c])]
+    mt = _pow2_at_least(max((len(members[c]) for c in live_cells),
+                            default=1), min(tile, pool_pad))
+    pool_all = np.full((len(live_cells), pool_pad), NONE, np.int32)
+    mc_all = np.full((len(live_cells), mt), NONE, np.int32)
+    n_pools = []
+    for i, c in enumerate(live_cells):
         pool = np.concatenate([members[p] for p in probe[c]])[:pool_pad]
-        pool_padded = np.full(pool_pad, NONE, np.int32)
-        pool_padded[: len(pool)] = pool
-        mt = _pow2_at_least(max(len(mc), 1), min(tile, pool_pad))
-        mc_padded = np.full(mt, NONE, np.int32)
-        mc_padded[: len(mc)] = mc
-        sel = _cell_build(src, src_sq, jnp.asarray(pool_padded),
-                          jnp.asarray(mc_padded), len(pool), cap=cap,
-                          kq=kq, metric=metric, precision=precision)
-        fwd = _scatter_rows(fwd, jnp.asarray(mc_padded), sel)
+        pool_all[i, : len(pool)] = pool
+        mc_all[i, : len(members[c])] = members[c]
+        n_pools.append(len(pool))
+    pool_dev = jnp.asarray(pool_all)
+    mc_dev = jnp.asarray(mc_all)
+    for i in range(len(live_cells)):
+        sel = _cell_build(src, src_sq, pool_dev[i], mc_dev[i], n_pools[i],
+                          cap=cap, kq=kq, metric=metric, precision=precision)
+        fwd = _scatter_rows(fwd, mc_dev[i], sel)
 
     # --- symmetrize + NN-descent polish, all on device ----------------
     _tick("large_sym0")

@@ -50,19 +50,28 @@ def _probe_combos(probes: int, radius: int, nbits: int) -> List[Tuple[int, ...]]
     return combos[:probes]
 
 
-@partial(jax.jit, static_argnames=("probes", "radius"))
+@partial(jax.jit, static_argnames=("probes", "radius", "flip_order"))
 def _query_buckets(q: jnp.ndarray, proj: jnp.ndarray, *, probes: int,
-                   radius: int):
+                   radius: int, flip_order: str = "margin"):
     """Bucket ids to probe. q: [B, D]; proj: [T, D, bits].
-    Returns int32 [B, T, probes]."""
+    Returns int32 [B, T, probes]. flip_order="fixed" flips bit POSITIONS in
+    index order — the reference's query-independent flip schedule
+    (hybrid_lsh.clj:293-299) — kept for the measured A/B against the
+    margin-ordered default (test_families.py:test_lsh_margin_flips_beat_
+    fixed_flips: margin 0.635 vs fixed 0.485 recall@10 at equal probes on
+    the 8k clustered corpus, :accurate mode)."""
     nbits = proj.shape[-1]
     scores = jnp.einsum("bd,tdh->bth", q, proj,
                         preferred_element_type=jnp.float32)   # [B, T, bits]
     bits = (scores > 0).astype(jnp.int32)
     weights = (1 << jnp.arange(nbits, dtype=jnp.int32))
     base = jnp.sum(bits * weights[None, None, :], axis=-1)    # [B, T]
-    # margin order: ascending |score| = least confident bit first
-    margin_rank = jnp.argsort(jnp.abs(scores), axis=-1)       # [B, T, bits]
+    if flip_order == "fixed":
+        margin_rank = jnp.broadcast_to(
+            jnp.arange(nbits, dtype=jnp.int32)[None, None, :], scores.shape)
+    else:
+        # margin order: ascending |score| = least confident bit first
+        margin_rank = jnp.argsort(jnp.abs(scores), axis=-1)   # [B, T, bits]
     combos = _probe_combos(probes, radius, nbits)
     out = []
     for combo in combos:
@@ -95,7 +104,8 @@ class HybridLSHIndex(ANNIndex):
 
     def search_batch(self, queries, k: int, mode: Mode = Mode.BALANCED,
                      num_probes: Optional[int] = None,
-                     radius: Optional[int] = None):
+                     radius: Optional[int] = None,
+                     flip_order: str = "margin"):
         q = self.corpus.pad_queries(queries)
         mode = Mode.coerce(mode)
         p_m, r_m = LSH_MODES[mode]
@@ -104,7 +114,7 @@ class HybridLSHIndex(ANNIndex):
         return _lsh_search(
             self.corpus.vectors, self.corpus.sq_norms, self.proj,
             self.buckets, q, k=k, probes=probes, radius=radius,
-            metric=self.corpus.metric)
+            metric=self.corpus.metric, flip_order=flip_order)
 
     def index_info(self) -> Dict[str, Any]:
         occupancy = np.asarray((self.buckets >= 0).sum(axis=-1))
@@ -144,10 +154,13 @@ class HybridLSHIndex(ANNIndex):
                    seed=int(p.get("seed", 42)))
 
 
-@partial(jax.jit, static_argnames=("k", "probes", "radius", "metric"))
-def _lsh_search(vectors, v_sq, proj, buckets, q, *, k, probes, radius, metric):
+@partial(jax.jit, static_argnames=("k", "probes", "radius", "metric",
+                                   "flip_order"))
+def _lsh_search(vectors, v_sq, proj, buckets, q, *, k, probes, radius, metric,
+                flip_order="margin"):
     b = q.shape[0]
-    bucket_ids = _query_buckets(q, proj, probes=probes, radius=radius)
+    bucket_ids = _query_buckets(q, proj, probes=probes, radius=radius,
+                                flip_order=flip_order)
     t, _, cap = buckets.shape
     # gather candidate rows: [B, T, probes, cap] -> [B, C]
     table_idx = jnp.arange(t, dtype=jnp.int32)[None, :, None]

@@ -118,3 +118,31 @@ def test_partitioned_empty_partitions_never_return_padding():
     assert (r[:, 0] == np.arange(3)).all()          # self found first
     assert (r >= 0).all(), r                         # k=5 <= n=10: all real
     assert (d[r >= 0] < 0.999).all()                 # no padding distance 1.0
+
+
+def test_lsh_margin_flips_beat_fixed_flips():
+    """The measured A/B behind models/lsh.py's claim that margin-ordered
+    multi-probe flips dominate the reference's query-independent bit flips
+    (hybrid_lsh.clj:293-299) at equal probe count: flipping the bits whose
+    projection sits closest to the hyperplane first reaches the buckets a
+    near-boundary neighbor most likely fell into."""
+    import numpy as np
+
+    from hnsw_tpu.models.flat import FlatIndex
+    from hnsw_tpu.models.lsh import build_lsh_index
+    from tests.conftest import make_clustered, recall_at_k
+
+    data = make_clustered(8000, 128, k=16, seed=51)
+    data = (data / np.linalg.norm(data, axis=1, keepdims=True)).astype(
+        np.float32)
+    idx = build_lsh_index(data)
+    exact = FlatIndex(idx.corpus)
+    q = data[:256]
+    _, er = exact.search_batch(q, 10)
+    er = np.asarray(er)
+    _, rm = idx.search_batch(q, 10, "accurate", flip_order="margin")
+    _, rf = idx.search_batch(q, 10, "accurate", flip_order="fixed")
+    rec_m = recall_at_k(np.asarray(rm), er)
+    rec_f = recall_at_k(np.asarray(rf), er)
+    print(f"lsh flip A/B: margin={rec_m:.4f} fixed={rec_f:.4f}")
+    assert rec_m >= rec_f, (rec_m, rec_f)
