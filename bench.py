@@ -54,16 +54,18 @@ FAMILY_TARGET = {"lsh": 0.45, "ivf_hnsw": 0.85}
 
 # size sweep beyond the reference's published 1k/10k/31k/100k(est) curve
 # (reference README.md:241-249); override with HNSW_TPU_SCALE="n1,n2" or
-# disable with HNSW_TPU_SCALE="".
+# disable with HNSW_TPU_SCALE="". Sizes run IN THIS ORDER (not sorted):
+# the 1M graph row is the round-5 deliverable, so it runs before the
+# (r4-proven) 500k row and inherits the budget risk last.
 SCALE_SIZES = [int(s) for s in os.environ.get(
-    "HNSW_TPU_SCALE", "100000,500000,1000000").split(",") if s]
+    "HNSW_TPU_SCALE", "100000,1000000,500000").split(",") if s]
 
 # wall-clock budget for the whole bench run, checked before every family,
 # every mode probe, and every scale size: when exhausted, whatever has been
 # measured is already on stdout (the driver runs this unattended at round
 # end; a size/family already in flight can still overrun by its own
 # duration — the budget bounds STARTING new work, not preempting it)
-BUDGET_S = float(os.environ.get("HNSW_TPU_BENCH_BUDGET_S", "2100"))
+BUDGET_S = float(os.environ.get("HNSW_TPU_BENCH_BUDGET_S", "2600"))
 _T0 = time.perf_counter()
 
 PROGRESS_PATH = os.environ.get(
@@ -357,7 +359,7 @@ def scale_sweep(sizes):
     from hnsw_tpu.models.flat import FlatIndex
     from hnsw_tpu.types import Corpus
 
-    for n in sorted(sizes):
+    for n in sizes:
         if remaining_s() <= 0:
             STATE["scale"][str(n)] = {
                 "skipped": "bench wall-clock budget exhausted"}
@@ -438,11 +440,20 @@ def scale_sweep(sizes):
                 kw = dict(M=16, hierarchy=False)   # sampled-entry search
                 if n > 150_000:
                     kw.update(pack_dim=128, large_probe_clusters=4,
-                              large_refine_rounds=2)
+                              large_refine_rounds=2, expand=8)
+                if n > 600_000:
+                    # the 1M ladder is graph-quality bound (probes r5e/f:
+                    # scoring precision moves recall < 0.001; one more
+                    # NN-descent round + ef=300 reaches 0.987)
+                    kw.update(large_refine_rounds=3)
                 hnsw, hnsw_s = measure_build(
                     lambda: build_hnsw_index(corpus, **kw))
+                if n > 150_000:
+                    # wider sampled-entry pool: one [B, S] GEMM either way
+                    hnsw.entry_sample = 2048
                 entry["hnsw_build_seconds"] = round(hnsw_s, 2)
-                fam("hnsw", hnsw, ["turbo", "fast", "balanced"])
+                fam("hnsw", hnsw,
+                    ["turbo", "fast", "balanced", "accurate"])
                 del hnsw
         except Exception as e:  # record, keep benching other sizes
             entry["error"] = f"{type(e).__name__}: {e}"

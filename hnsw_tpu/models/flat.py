@@ -215,7 +215,7 @@ class FlatIndex(ANNIndex):
         v5e). The default (fetch=k+6) re-ranks for ~0.999 recall."""
         from hnsw_tpu.ops.distance import gather_score
         from hnsw_tpu.ops.pallas_scan import (
-            INT8_BT, INT8_NT, pallas_int8_topk,
+            INT8_BT, INT8_NT, pallas_int8_bucket_topk, pallas_int8_topk,
         )
 
         if self._int8_arrays is None or len(self._int8_arrays) != 4:

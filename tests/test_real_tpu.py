@@ -121,6 +121,34 @@ def test_int8_scan_kernels_compile_on_tpu(kernel, metric):
     assert _recall(r, _exact_rows(x, x[:64], 10, metric)) >= 0.8
 
 
+@pytest.mark.parametrize("variant", ["bf16", "int8_rerank", "int8_coarse",
+                                     "int8_packed"])
+def test_flat_index_pallas_paths_on_tpu(variant):
+    """End-to-end FlatIndex dispatch through the real Pallas kernels — the
+    level where a round-5 import regression (pallas_int8_bucket_topk
+    dropped from _int8_pallas's imports) slipped past the CPU suite, which
+    never reaches _int8_pallas (TPU-backend-only branch)."""
+    from hnsw_tpu.models.flat import FlatIndex
+    from hnsw_tpu.types import Corpus
+
+    x = _corpus(seed=15)
+    c = Corpus.from_array(x)
+    if variant == "bf16":
+        idx = FlatIndex(c, precision="bf16")
+    elif variant == "int8_rerank":
+        idx = FlatIndex(c, precision="int8")
+    elif variant == "int8_coarse":
+        idx = FlatIndex(c, precision="int8", int8_fetch=0)
+    else:
+        idx = FlatIndex(c, precision="int8", int8_fetch=0,
+                        scan_kernel="packed")
+    d, r = idx.search_batch(x[:64], 10)
+    r = np.asarray(r)
+    assert (r >= 0).all() and (r < 500).all()
+    assert (r[:, 0] == np.arange(64)).all()          # self is nearest
+    assert (np.diff(np.asarray(d), axis=1) >= -1e-5).all()
+
+
 @pytest.mark.parametrize("expand", [4, 8])
 def test_hop_kernel_bf16_compiles_on_tpu(expand):
     from hnsw_tpu.ops.pallas_hop import hop_score
