@@ -439,8 +439,12 @@ def scale_sweep(sizes):
                 # fully device-resident now, build_large.py)
                 kw = dict(M=16, hierarchy=False)   # sampled-entry search
                 if n > 150_000:
+                    # expand stays 4: e=8 measured slightly SLOWER for the
+                    # single-graph search at every scale (scripts/
+                    # _probe_r5h/i — multi-entry families are the ones
+                    # that want 8)
                     kw.update(pack_dim=128, large_probe_clusters=4,
-                              large_refine_rounds=2, expand=8)
+                              large_refine_rounds=2)
                 if n > 600_000:
                     # the 1M ladder is graph-quality bound (probes r5e/f:
                     # scoring precision moves recall < 0.001; one more
@@ -458,6 +462,14 @@ def scale_sweep(sizes):
         except Exception as e:  # record, keep benching other sizes
             entry["error"] = f"{type(e).__name__}: {e}"
             emit()
+        finally:
+            # free this size's device arrays BEFORE the next size allocates:
+            # with 1M running before 500k, the lingering 3.1 GB 1M corpus
+            # (+ its exact index) pushed the 500k stage into
+            # RESOURCE_EXHAUSTED (first round-5 rehearsal run)
+            import gc
+            exact = corpus = data = qb = None   # drop closure refs too
+            gc.collect()
 
 
 def main():
