@@ -461,6 +461,16 @@ def scale_sweep(sizes):
                 del hnsw
         except Exception as e:  # record, keep benching other sizes
             entry["error"] = f"{type(e).__name__}: {e}"
+            try:        # OOM forensics: what is still resident, and how big
+                import jax
+                live = sorted((x.nbytes, str(x.shape), str(x.dtype))
+                              for x in jax.live_arrays())[-8:]
+                entry["live_arrays_gb"] = round(
+                    sum(x.nbytes for x in jax.live_arrays()) / 2**30, 2)
+                entry["live_top"] = [f"{s} {d} {b/2**20:.0f}MB"
+                                     for b, s, d in live]
+            except Exception:
+                pass
             emit()
         finally:
             # free this size's device arrays BEFORE the next size allocates:
@@ -728,13 +738,25 @@ def main():
                 STATE["hnsw_euclidean_build_seconds"] = round(eb, 3)
                 _emeasure("hnsw", ehnsw, ["turbo", "fast", "balanced"])
                 del ehnsw
-            del eexact, ecorp
+            # _emeasure's closure cell would otherwise keep eexact (and the
+            # euclidean corpus) alive into the scale sweep
+            del _emeasure, eexact, ecorp
         except Exception as e:
             STATE["families_euclidean"] = {
                 "error": f"{type(e).__name__}: {e}"}
             emit()
 
     if SCALE_SIZES and remaining_s() > 0:
+        # free every main-phase device array first: the 500k scale stage
+        # sits within ~1 GB of HBM capacity (its PCA-128 pack + IVF slab
+        # table + corpus), and the lingering 31k corpus/exact/euclidean
+        # buffers were exactly the margin that RESOURCE_EXHAUSTED'd it in
+        # the first two round-5 full runs (the scale sweep makes its own
+        # corpora; a scale-only process ran the same sizes clean)
+        import gc
+        del exact
+        corpus = data = None
+        gc.collect()
         scale_sweep(SCALE_SIZES)
     emit()
 
