@@ -581,8 +581,9 @@ def main():
         STATE["hnsw_build_seconds_cold_incl_compile"] = round(build_cold_s, 3)
         STATE["hnsw_build_stages"] = dict(stage_t)
         if remaining_s() > 0:
-            _, build_h = measure_build(lambda: _build(hierarchy=True))
+            hier_g, build_h = measure_build(lambda: _build(hierarchy=True))
             STATE["hnsw_build_seconds_hierarchy"] = round(build_h, 3)
+            del hier_g     # a `_`-bound index would live to process end
         # turbo first: ef=50 already saturates this graph's recall (0.984,
         # scripts/_probe_hop_kernel_r3b.py — identical at ef=50..150) at 2x
         # the QPS of ef=100; best_mode stops at the first mode >= 0.98
@@ -607,6 +608,10 @@ def main():
                               int(perf.get("qps_device") or 0)])
                 STATE["hnsw_ef_curve"] = curve
                 emit()
+            # the last _EfView otherwise keeps the hnsw index (and its
+            # 1.46 GB packed-neighbor table) alive past `del hnsw` — the
+            # largest single block in run 3's 500k OOM forensics
+            v = None
         # same graph, PCA-256 in-loop scoring + widened exact re-rank
         # (models/hnsw/__init__.py pack_dim): 3x less hop HBM traffic
         from hnsw_tpu.models import HNSWIndex

@@ -182,7 +182,11 @@ def run_search_benchmark(
             n_hi = 2 * n_lo
             t_hi = timed(n_hi)
         per_batch = (t_hi - t_lo) / (n_hi - n_lo)
-        if per_batch <= 0:
+        # a relay hiccup inflating t_lo can collapse the difference to
+        # ~zero (round-5 run 3 recorded a 2 us/batch artifact this way);
+        # the amortized hi-point time is a hard upper bound on the true
+        # per-batch cost and a sanity floor on the slope
+        if per_batch <= 0 or per_batch < 0.25 * (t_hi / n_hi):
             per_batch = t_hi / n_hi
         qps_device = b / per_batch
     except Exception:
