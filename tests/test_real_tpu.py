@@ -8,6 +8,12 @@ bench doesn't happen to exercise can rot invisibly. This file compiles the
 full kernel matrix: bucket/sweep x bf16/int8 x all three metrics, plus the
 ring-DMA hop kernel (bf16 + int8 packs) at both expand widths.
 
+(Shape note, itself a smoke-test catch: small corpus tiles fail Mosaic
+layout verification — XLA lays a small 1-D f32 operand out as ONE tile
+(f32[1024] -> T(1024)), so the (nt,) block specs must cover the whole
+padded array here: nt == n_pad. Production configs use nt in
+{1024, 2048} over long arrays and are unaffected.)
+
 Run standalone with the real backend (skipped otherwise):
 
     HNSW_TPU_REAL=1 python -m pytest tests/test_real_tpu.py -x -q
@@ -76,7 +82,7 @@ def test_bf16_scan_kernels_compile_on_tpu(kernel, metric):
     from hnsw_tpu.types import Metric
 
     x = _corpus()
-    n_pad = 512
+    n_pad = 1024
     vec = jnp.zeros((n_pad, 128), jnp.bfloat16).at[:500].set(
         jnp.asarray(x, jnp.bfloat16))
     vsq = jnp.zeros((n_pad,), jnp.float32).at[:500].set(
@@ -84,7 +90,7 @@ def test_bf16_scan_kernels_compile_on_tpu(kernel, metric):
     q = jnp.asarray(x[:64], jnp.bfloat16)
     kern = pallas_bucket_topk if kernel == "bucket" else pallas_exact_topk
     d, r = kern(vec, vsq, q, 500, k=10, metric=Metric(metric),
-                bt=64, nt=256)
+                bt=64, nt=1024)
     r = np.asarray(r)
     assert (r >= 0).all() and (r < 500).all()
     # smoke threshold: this asserts sane output, not precision
@@ -102,7 +108,7 @@ def test_int8_scan_kernels_compile_on_tpu(kernel, metric):
     from hnsw_tpu.types import Metric
 
     x = _corpus(seed=12)
-    n_pad = 512
+    n_pad = 1024
     v = jnp.zeros((n_pad, 128), jnp.float32).at[:500].set(jnp.asarray(x))
     vmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-12)
     vscale = vmax / 127.0
@@ -115,7 +121,7 @@ def test_int8_scan_kernels_compile_on_tpu(kernel, metric):
     qmeta = jnp.concatenate([qscale, jnp.sum(qf * qf, 1, keepdims=True)], 1)
     kern = pallas_int8_bucket_topk if kernel == "bucket" else pallas_int8_topk
     d, r = kern(v8, vscale[:, 0], vsq, q8, qmeta, 500, k=10,
-                metric=Metric(metric), bt=64, nt=256)
+                metric=Metric(metric), bt=64, nt=1024)
     r = np.asarray(r)
     assert (r >= 0).all() and (r < 500).all()
     assert _recall(r, _exact_rows(x, x[:64], 10, metric)) >= 0.8
