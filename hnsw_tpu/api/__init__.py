@@ -28,16 +28,32 @@ def build_index(data, index_type: str = "hnsw", **opts) -> ANNIndex:
     return FAMILIES[key](data, **opts)
 
 
-def build_best_for_size(data, **opts) -> ANNIndex:
-    """Auto-select a family by corpus size — the documented intent of the
-    reference's simd_wrapper.clj:171-196."""
-    import numpy as np
+def build_best_for_size(data, policy: str = "tpu", **opts) -> ANNIndex:
+    """Auto-select a family by corpus size.
+
+    policy="tpu" (default) follows THIS engine's measured rankings
+    (bench.py round-5 artifacts, README "Measured" tables): the coarse-only
+    int8 fused scan is the fastest >=0.98-recall engine at every size up to
+    at least 1M rows on one v5e (1.91M QPS at 31k .. 87k at 1M, always
+    above the graph/IVF families), so "best" is the flat int8 engine until
+    the corpus outgrows a single chip's exact-scan budget, then HNSW (the
+    compute-skipping engine whose advantage grows with N).
+
+    policy="reference" reproduces the reference wrapper's documented
+    sizing table (simd_wrapper.clj:171-196: <1k ultra-fast, <10k
+    partitioned, else IVF-FLAT).
+    """
     n = len(data) if not hasattr(data, "n") else data.n
-    if n < 1000:
-        return build_index(data, "hnsw", **opts)
-    if n < 10000:
-        return build_index(data, "partitioned_hnsw", **opts)
-    return build_index(data, "ivf_flat", **opts)
+    if policy == "reference":
+        if n < 1000:
+            return build_index(data, "hnsw", **opts)
+        if n < 10000:
+            return build_index(data, "partitioned_hnsw", **opts)
+        return build_index(data, "ivf_flat", **opts)
+    if n <= 2_000_000:
+        return build_index(data, "flat", precision="int8",
+                           **{"int8_fetch": 0, **opts})
+    return build_index(data, "hnsw", **opts)
 
 
 def search_knn(index: ANNIndex, query, k: int = 10,

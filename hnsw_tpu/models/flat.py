@@ -418,8 +418,10 @@ class FlatIndex(ANNIndex):
 
 
 def build_flat_index(data, *, metric="cosine", ids=None, precision="f32",
-                     scan_kernel="auto", **_ignored) -> FlatIndex:
+                     scan_kernel="auto", int8_fetch=None,
+                     **_ignored) -> FlatIndex:
     """Build from a host array [n, dim] or reference-style [id, vec] pairs."""
     from hnsw_tpu.models.common import as_corpus
     corpus = as_corpus(data, metric=metric, ids=ids)
-    return FlatIndex(corpus, precision=precision, scan_kernel=scan_kernel)
+    return FlatIndex(corpus, precision=precision, scan_kernel=scan_kernel,
+                     int8_fetch=int8_fetch)

@@ -37,8 +37,17 @@ def test_batch_search():
 
 
 def test_build_best_for_size():
+    # tpu policy: the measured best >=0.98 engine at every single-chip size
+    # is the coarse-only int8 flat scan (README "Measured")
     idx = hnsw_tpu.build_best_for_size(DATA)
-    assert idx.family == "hnsw"   # < 1000 rows
+    assert idx.family == "flat" and idx.precision == "int8"
+    assert idx.int8_fetch == 0
+    d, r = idx.search_batch(DATA[:4], 3)
+    import numpy as np
+    assert (np.asarray(r)[:, 0] == np.arange(4)).all()
+    # reference policy: simd_wrapper.clj:171-196 sizing table
+    idx2 = hnsw_tpu.build_best_for_size(DATA, policy="reference")
+    assert idx2.family == "hnsw"   # < 1000 rows
 
 
 def test_simple_index_lifecycle(tmp_path):
