@@ -415,13 +415,16 @@ def scale_sweep(sizes):
             i8.int8_fetch = 0
             fam("flat_int8_coarse", i8, ["balanced"])
             del i8
-            if remaining_s() > 0 and n <= 600_000:
+            if remaining_s() > 0 and n <= 1_100_000:
                 # 128 partitions at every size: probe coverage is what caps
                 # IVF recall at scale (round 3: 12 probes of 707 sqrt(N)
                 # clusters = 1.7% coverage capped 500k recall at 0.964),
                 # and the build is now fast enough (device-permuted table,
                 # host-sampled init, default-precision Lloyd/topc) that
-                # fewer/larger slabs cost little
+                # fewer/larger slabs cost little. Above 600k the table
+                # auto-stores bf16 (the f32 spill slab is 5.9 GB at 1M and
+                # HBM-OOMed — round-5 probe r5m; bf16 measured 53.6k QPS @
+                # 0.981 at 1M with a 7.4 s build)
                 ivf, ivf_s = measure_build(lambda: build_ivf_flat_index(
                     corpus, num_partitions=128, spill=1))
                 entry["ivf_build_seconds"] = round(ivf_s, 2)

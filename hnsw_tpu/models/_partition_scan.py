@@ -25,6 +25,22 @@ from hnsw_tpu.ops.topk import dedupe_ascending, top_k_ascending
 from hnsw_tpu.types import Corpus, Metric, round_up
 
 
+@partial(jax.jit, static_argnames=("dtype", "out_rows"))
+def _permute_slab(vectors, sq_norms, order, *, dtype, out_rows):
+    """Cluster-sorted slab permute, one fused device program. The cast
+    happens BEFORE the gather: an eager take(...).astype(bf16) materializes
+    the full f32 gather first (5.9 GB at 1M with spill — the allocation
+    that HBM-OOM'd the 1M IVF build, round-5 probe r5m) where casting first
+    peaks at the bf16 corpus copy + the bf16 output."""
+    src = vectors.astype(dtype)
+    permuted = jnp.zeros((out_rows, vectors.shape[1]), dtype)
+    permuted = permuted.at[: order.shape[0]].set(
+        jnp.take(src, order, axis=0))
+    v_sq = jnp.zeros((out_rows,), jnp.float32).at[: order.shape[0]].set(
+        jnp.take(sq_norms, order, axis=0))
+    return permuted, v_sq
+
+
 @dataclasses.dataclass
 class PartitionTable:
     """Cluster-sorted slab layout over a corpus."""
@@ -41,12 +57,20 @@ class PartitionTable:
     @classmethod
     def build(cls, corpus: Corpus, assign: np.ndarray,
               centroids: Optional[np.ndarray] = None,
-              secondary: Optional[np.ndarray] = None) -> "PartitionTable":
+              secondary: Optional[np.ndarray] = None,
+              dtype=jnp.float32) -> "PartitionTable":
         """assign: int32 [n] primary cluster per original row (>= 0).
         secondary: optional int32 [n] spill cluster (-1 = none) — SOAR-style
         multi-assignment: the row is stored in BOTH slabs so a missed
         primary probe can still find it (duplicates are removed at the
-        search merge by dedupe_ascending)."""
+        search merge by dedupe_ascending).
+        dtype: slab storage dtype. bf16 halves the permuted copy — the
+        difference between IVF fitting 1M rows on a 16 GB chip or not (the
+        f32 spill table at 1M is 5.9 GB and HBM-OOMs next to the corpus,
+        scripts round-5 probe r5m). For cosine/dot the grouped scan already
+        SCORES slabs in bf16, so a bf16-stored table changes nothing but
+        memory; v_sq stays f32-exact either way. Keep f32 for euclidean
+        (its exact path needs HIGHEST-precision slab dots)."""
         n = corpus.n
         assign = np.asarray(assign[:n])
         if centroids is not None:
@@ -75,10 +99,9 @@ class PartitionTable:
         # relay and back — ~2x 1.5 GB at 500k, the dominant cost of a
         # 1,400 s IVF build; the device row gather is milliseconds.)
         order_j = jnp.asarray(order)
-        permuted = jnp.zeros((m + cmax, corpus.d_pad), jnp.float32).at[:m].set(
-            jnp.take(corpus.vectors, order_j, axis=0))
-        v_sq = jnp.zeros((m + cmax,), jnp.float32).at[:m].set(
-            jnp.take(corpus.sq_norms, order_j, axis=0))
+        permuted, v_sq = _permute_slab(corpus.vectors, corpus.sq_norms,
+                                       order_j, dtype=dtype,
+                                       out_rows=m + cmax)
         perm = np.full(m + cmax, -1, np.int32)
         perm[:m] = order
 
@@ -148,8 +171,12 @@ def scan_search(
     """Masked slab scan over all clusters; returns (dists [B,k], original
     rows [B,k], -1 for missing)."""
     b, d = queries.shape
-    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     n_clusters = starts.shape[0]
+    # bf16-stored tables score in bf16 (their values already carry bf16
+    # rounding; HIGHEST would only slow the matmul 6x)
+    lp = table_vectors.dtype == jnp.bfloat16
+    q_mat = queries.astype(jnp.bfloat16) if lp else queries
     # spilled tables hold each row in up to 2 slabs: carry 2k slots so k
     # unique survivors are guaranteed, dedupe at the end
     kk = 2 * k if dedup else k
@@ -162,8 +189,8 @@ def scan_search(
         slab_rows = jax.lax.dynamic_slice_in_dim(table_perm, start, cmax, 0)
         local = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
         valid = (local < lens[c]) & (slab_rows[None, :] >= 0)
-        dots = jnp.dot(queries, slab.T, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        dots = jnp.dot(q_mat, slab.T, preferred_element_type=jnp.float32,
+                       precision=None if lp else jax.lax.Precision.HIGHEST)
         dist = distances_from_dots(dots, q_sq, slab_sq, metric)
         dist = jnp.where(valid & probe_mask[:, c][:, None], dist, BIG)
         d_all = jnp.concatenate([best_d, dist], axis=-1)
@@ -240,7 +267,9 @@ def grouped_search(
     dropped = (b * p) - jnp.sum(ok.astype(jnp.int32))
 
     q_sq_all = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)   # [B]
-    lp = precision != "highest"
+    # a bf16-STORED table forces the bf16 scoring path regardless of the
+    # requested precision (its values already carry bf16 rounding)
+    lp = precision != "highest" or table_vectors.dtype == jnp.bfloat16
     q_mat = queries.astype(jnp.bfloat16) if lp else queries
     t_mat = table_vectors.astype(jnp.bfloat16) if lp else table_vectors
 

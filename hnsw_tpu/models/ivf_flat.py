@@ -109,7 +109,9 @@ class IVFFlatIndex(ANNIndex):
         return {
             "params": {"partitioning": self.partitioning, "seed": self.seed,
                        "cmax": t.cmax, "k_parts": t.k_parts,
-                       "spill": self.spill},
+                       "spill": self.spill,
+                       "table_dtype": ("bf16" if t.vectors.dtype ==
+                                       jnp.bfloat16 else "f32")},
             "arrays": {
                 "perm": np.asarray(t.perm), "starts": np.asarray(t.starts),
                 "lens": np.asarray(t.lens),
@@ -121,15 +123,19 @@ class IVFFlatIndex(ANNIndex):
     def from_state(cls, corpus: Corpus, state: Dict[str, Any]) -> "IVFFlatIndex":
         p, a = state["params"], state["arrays"]
         perm = np.asarray(a["perm"])
-        host_vec = np.asarray(corpus.vectors)
-        n_slab = len(perm)
-        permuted = np.zeros((n_slab, corpus.d_pad), np.float32)
-        v_sq = np.zeros(n_slab, np.float32)
-        ok = perm >= 0
-        permuted[ok] = host_vec[perm[ok]]
-        v_sq[ok] = np.asarray(corpus.sq_norms)[perm[ok]]
+        tdt = jnp.bfloat16 if p.get("table_dtype") == "bf16" else jnp.float32
+        # device row-gather, not a host-side corpus fetch (the corpus may
+        # live across a slow device link)
+        perm_j = jnp.asarray(perm)
+        ok = (perm_j >= 0)
+        permuted = jnp.where(
+            ok[:, None],
+            jnp.take(corpus.vectors, jnp.maximum(perm_j, 0), axis=0), 0.0
+        ).astype(tdt)
+        v_sq = jnp.where(ok, jnp.take(corpus.sq_norms,
+                                      jnp.maximum(perm_j, 0), axis=0), 0.0)
         table = PartitionTable(
-            vectors=jnp.asarray(permuted), v_sq=jnp.asarray(v_sq),
+            vectors=permuted, v_sq=v_sq,
             perm=jnp.asarray(perm), starts=jnp.asarray(a["starts"]),
             lens=jnp.asarray(a["lens"]), centroids=jnp.asarray(a["centroids"]),
             cmax=int(p["cmax"]), k_parts=int(p["k_parts"]),
@@ -149,9 +155,21 @@ def build_ivf_flat_index(
     seed: int = 42,
     spill: int = 0,                # 1 = SOAR-style secondary assignment
     balance: float = 1.25,         # cluster-size cap factor (0 = unbalanced)
+    table_dtype: str = "auto",     # "auto" | "f32" | "bf16" slab storage.
+                                   # auto: bf16 above 600k rows for
+                                   # cosine/dot (halves the permuted slab
+                                   # copy - what lets IVF fit 1M rows on a
+                                   # 16 GB chip; the grouped scan scores
+                                   # bf16 there anyway), f32 otherwise
     **_ignored,
 ) -> IVFFlatIndex:
+    import jax.numpy as _jnp
     corpus = as_corpus(data, metric=metric, ids=ids)
+    if table_dtype == "auto":
+        table_dtype = "bf16" if (corpus.n > 600_000
+                                 and corpus.metric != Metric.EUCLIDEAN) \
+            else "f32"
+    tdt = _jnp.bfloat16 if table_dtype == "bf16" else _jnp.float32
     k = max(1, min(num_partitions, max(corpus.n, 1)))
     secondary = None
     if corpus.n == 0:
@@ -177,6 +195,6 @@ def build_ivf_flat_index(
         if spill and k > 1:
             secondary = spill_assign(assign, topd, topi, k, cap)
     table = PartitionTable.build(corpus, assign, centroids=cents,
-                                 secondary=secondary)
+                                 secondary=secondary, dtype=tdt)
     return IVFFlatIndex(corpus, table, partitioning=partitioning, seed=seed,
                         spill=spill if secondary is not None else 0)

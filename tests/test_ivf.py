@@ -96,3 +96,47 @@ def test_state_roundtrip_with_spill(spilled):
     _, r2 = idx2.search_batch(QUERIES[:16], 10, num_probes=4)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     assert idx2.spill == 1
+
+
+def test_bf16_slab_table_matches_f32():
+    """bf16 slab storage (the 1M-rows-on-one-chip memory option) must match
+    the f32 table's results for cosine within bf16 rounding, and the dtype
+    must survive a persistence round-trip."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_tpu.io.persist import load_index, save_index
+    from hnsw_tpu.models.ivf_flat import build_ivf_flat_index
+    from tests.conftest import make_clustered, recall_at_k
+
+    data = make_clustered(3000, 64, k=12, seed=61)
+    data = (data / np.linalg.norm(data, axis=1, keepdims=True)).astype(
+        np.float32)
+    f32 = build_ivf_flat_index(data, num_partitions=24, spill=1)
+    bf = build_ivf_flat_index(data, num_partitions=24, spill=1,
+                              table_dtype="bf16")
+    assert bf.table.vectors.dtype == jnp.bfloat16
+    assert f32.table.vectors.dtype == jnp.float32
+    # this clustered corpus is tie-dense (250 near-duplicates per cluster),
+    # so bf16 scoring legitimately reorders near-ties vs a HIGHEST-precision
+    # scan. The property to assert is that the bf16 TABLE adds nothing
+    # beyond bf16 SCORING: compare against a bf16-precision flat scan of
+    # the whole corpus (the same rounding family).
+    from hnsw_tpu.models.flat import FlatIndex
+    q = data[:128]
+    _, rbf_ref = FlatIndex(f32.corpus, precision="bf16").search_batch(q, 10)
+    rbf_ref = np.asarray(rbf_ref)
+    _, rb = bf.search_batch(q, 10, "accurate")
+    rec_b = recall_at_k(np.asarray(rb), rbf_ref)
+    assert rec_b >= 0.95, rec_b
+    # full-scan path too (masked scan_search)
+    _, rb2 = bf.search_batch(q, 10, "accurate", scan="full")
+    assert recall_at_k(np.asarray(rb2), rbf_ref) >= 0.95
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        pth = os.path.join(td, "ivf_bf16")
+        save_index(bf, pth)
+        back = load_index(pth)
+    assert back.table.vectors.dtype == jnp.bfloat16
+    _, rb3 = back.search_batch(q, 10, "accurate")
+    assert recall_at_k(np.asarray(rb3), rbf_ref) >= 0.95
